@@ -1,0 +1,165 @@
+"""Modulated / resampling convolutions for StyleGAN2 on TPU.
+
+Replaces the reference's `conv2d_resample` + `modulated_conv2d`
+(ref: torch_utils/ops/conv2d_resample.py:48-160,
+training/networks_stylegan2.py:34-91).
+
+Design notes (TPU-first):
+
+* The reference's *fused* path reshapes the batch into grouped convolutions so
+  each sample gets its own modulated kernel — a CUDA-ism that defeats XLA's
+  MXU tiling. Here modulation always runs as the *unfused* scale-activations
+  path (ref networks_stylegan2.py:69-79): scale inputs by styles, run ONE
+  large batched conv (MXU-friendly), then scale outputs by the demodulation
+  coefficients. The two paths are mathematically identical because the conv
+  is linear in its input.
+
+* Up/down-resampling uses `upfirdn2d` (lhs-dilated / strided depthwise convs)
+  composed with a plain `lax.conv_general_dilated`. Strides fold the
+  downsample into the conv itself; upsampling filters on the input side.
+
+* `jax.grad` differentiates everything (including grad-of-grad for R1), which
+  is what conv2d_gradfix exists to provide in the reference
+  (ref: torch_utils/ops/conv2d_gradfix.py:37-45).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .precision import get_precision
+from .upfirdn import upfirdn2d, _parse_padding, _get_filter_size
+
+
+def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
+    """Plain NCHW conv. flip_weight=True → correlation (torch conv2d
+    semantics); False → true convolution (kernel flipped)."""
+    if not flip_weight and (w.shape[2] > 1 or w.shape[3] > 1):
+        w = jnp.flip(w, axis=(2, 3))
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        precision=get_precision(),
+    )
+
+
+def conv2d_resample(
+    x: jax.Array,
+    w: jax.Array,
+    f: Optional[jax.Array] = None,
+    up: int = 1,
+    down: int = 1,
+    padding=0,
+    groups: int = 1,
+    flip_weight: bool = True,
+    flip_filter: bool = False,
+) -> jax.Array:
+    """2-D convolution with optional FIR-filtered up/downsampling.
+
+    Semantics match ref torch_utils/ops/conv2d_resample.py:48-160: padding is
+    interpreted w.r.t. the upsampled image, the FIR filter `f` is applied
+    during resampling only.
+    """
+    assert x.ndim == 4 and w.ndim == 4
+    out_channels, in_per_group, kh, kw = w.shape
+    fw, fh = _get_filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # Adjust padding for resampling (ref conv2d_resample.py:85-96).
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    # 1×1 kernel with downsampling only: resample first, fewer conv FLOPs.
+    if kw == 1 and kh == 1 and down > 1 and up == 1:
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+
+    # 1×1 kernel with upsampling only: convolve first, then resample.
+    if kw == 1 and kh == 1 and up > 1 and down == 1:
+        x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter)
+
+    # Downsampling only: pre-filter, then fold the stride into the conv.
+    if down > 1 and up == 1:
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+
+    # No resampling: plain conv with asymmetric padding support.
+    if up == 1 and down == 1:
+        return _conv2d(
+            x, w, padding=((py0, py1), (px0, px1)), groups=groups, flip_weight=flip_weight
+        )
+
+    # General path (up > 1, any down): zero-upsample + FIR via upfirdn, then
+    # convolve, then (rarely) downsample — ref conv2d_resample.py:153-158.
+    x = upfirdn2d(
+        x, f if up > 1 else None, up=up, padding=[px0, px1, py0, py1], gain=up**2,
+        flip_filter=flip_filter,
+    )
+    x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+    return x
+
+
+def modulated_conv2d(
+    x: jax.Array,              # (B, I, H, W)
+    weight: jax.Array,         # (O, I, kh, kw)
+    styles: jax.Array,         # (B, I)
+    noise: Optional[jax.Array] = None,
+    up: int = 1,
+    down: int = 1,
+    padding: int = 0,
+    resample_filter: Optional[jax.Array] = None,
+    demodulate: bool = True,
+    flip_weight: bool = True,
+) -> jax.Array:
+    """Style-modulated convolution (ref: networks_stylegan2.py:34-91).
+
+    Always executes the scale-activations formulation: per-sample kernel
+    modulation w_b = weight * styles_b (and demodulation by
+    rsqrt(sum(w_b²)+1e-8)) is applied as input/output scaling around a single
+    batched convolution.
+    """
+    B = x.shape[0]
+    O, I, kh, kw = weight.shape
+    assert styles.shape == (B, I)
+
+    dcoefs = None
+    if demodulate:
+        w32 = weight.astype(jnp.float32)[jnp.newaxis]  # (1, O, I, kh, kw)
+        w32 = w32 * styles.astype(jnp.float32).reshape(B, 1, I, 1, 1)
+        dcoefs = jax.lax.rsqrt(jnp.sum(jnp.square(w32), axis=(2, 3, 4)) + 1e-8)  # (B, O)
+
+    x = x * styles.astype(x.dtype).reshape(B, I, 1, 1)
+    x = conv2d_resample(
+        x, weight.astype(x.dtype), f=resample_filter, up=up, down=down,
+        padding=padding, flip_weight=flip_weight,
+    )
+    if demodulate and noise is not None:
+        x = x * dcoefs.astype(x.dtype).reshape(B, O, 1, 1) + noise.astype(x.dtype)
+    elif demodulate:
+        x = x * dcoefs.astype(x.dtype).reshape(B, O, 1, 1)
+    elif noise is not None:
+        x = x + noise.astype(x.dtype)
+    return x

@@ -1,0 +1,26 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The reference's de-facto test seam is its CPU fallback path
+(ref: torch_utils/ops/*.py `impl='ref'`, SURVEY.md §4); our equivalent is
+running the whole stack on CPU with a faked 8-chip mesh so multi-device
+sharding is exercised without TPU hardware.
+
+NOTE: this environment pre-registers an `axon` TPU backend from
+sitecustomize (which imports jax before any user code), so the JAX_PLATFORMS
+env var is too late — the platform must be forced through jax.config. The
+XLA_FLAGS fake-device flag still applies because the CPU client initializes
+lazily on first use.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
