@@ -1,0 +1,75 @@
+"""MipNeRF-style ray marching (alpha compositing over depth samples).
+
+Rebuild of ref training/volumetric_rendering/ray_marcher.py:20-107. The seg
+variant additionally composites semantic-mask logits with the same weights —
+this is what makes the rendered segmentation 3D-consistent.
+
+All steps are elementwise/cumulative over the static samples axis — XLA
+fuses the whole marcher into one kernel; cumprod lowers to an efficient
+associative scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _composite(colors, densities, depths, segs=None, *, clamp_mode: str = "softplus",
+               white_back: bool = False):
+    """colors (B,R,S,C), densities (B,R,S,1), depths (B,R,S,1),
+    segs optional (B,R,S,K). Midpoint quadrature (ref: ray_marcher.py:26-29)."""
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
+    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
+    segs_mid = None if segs is None else (segs[:, :, :-1] + segs[:, :, 1:]) / 2
+
+    assert clamp_mode == "softplus", "only clamp_mode='softplus' is supported (ref ray_marcher.py:32-35)"
+    # Activation bias of −1 improves initialization (ref: ray_marcher.py:33).
+    densities_mid = jax.nn.softplus(densities_mid - 1)
+
+    density_delta = densities_mid * deltas
+    alpha = 1 - jnp.exp(-density_delta)
+
+    alpha_shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2
+    )
+    weights = alpha * jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+
+    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
+    weight_total = jnp.sum(weights, axis=2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+
+    # NaN (zero-weight rays) → +inf, then clamp into the global depth range
+    # (ref: ray_marcher.py:49-50).
+    composite_depth = jnp.where(jnp.isnan(composite_depth), jnp.inf, composite_depth)
+    composite_depth = jnp.clip(composite_depth, jnp.min(depths), jnp.max(depths))
+
+    composite_seg = None if segs_mid is None else jnp.sum(weights * segs_mid, axis=-2)
+
+    if white_back:
+        composite_rgb = composite_rgb + 1 - weight_total
+    composite_rgb = composite_rgb * 2 - 1  # scale to (-1, 1)
+
+    return composite_rgb, composite_seg, composite_depth, weights
+
+
+def mip_ray_marcher(colors, densities, depths, *, clamp_mode: str = "softplus",
+                    white_back: bool = False):
+    """ref MipRayMarcher2 (ray_marcher.py:20-63)."""
+    rgb, _, depth, weights = _composite(
+        colors, densities, depths, None, clamp_mode=clamp_mode, white_back=white_back
+    )
+    return rgb, depth, weights
+
+
+def seg_mip_ray_marcher(colors, segs, densities, depths, *, clamp_mode: str = "softplus",
+                        white_back: bool = False):
+    """ref SegMipRayMarcher2 (ray_marcher.py:65-107)."""
+    rgb, seg, depth, weights = _composite(
+        colors, densities, depths, segs, clamp_mode=clamp_mode, white_back=white_back
+    )
+    return rgb, seg, depth, weights

@@ -1,0 +1,289 @@
+"""Two-pass hierarchical importance renderer over tri-planes.
+
+Rebuild of ref training/volumetric_rendering/renderer.py:23-363, TPU-first:
+
+* Plane projections for the three EG3D axis matrices reduce to coordinate
+  shuffles — (x,y), (x,z), (z,x) — computed inline instead of batched 3×3
+  inverse matmuls (ref renderer.py:23-53; the third matrix is EG3D's fixed
+  non-orthogonal variant, whose inverse permutes to (z,x)).
+* `searchsorted` in the importance PDF inversion is a vectorized
+  comparison-count (static S≈48), which XLA fuses — no host sync, no sort.
+* The depth sort-merge of coarse+fine samples uses argsort + gather along a
+  static axis.
+* Both passes live in ONE traced program (coarse eval → importance resample
+  → fine eval → merge → march), matching the reference's single forward
+  (renderer.py:301-363) and giving XLA the whole graph to schedule.
+
+The decoder is passed as (apply_fn, params): apply_fn(params, norm_samples,
+denorm_samples) → {'rgb', 'sigma', 'seg'?}.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderingConfig
+from ..ops import grid_sample_2d
+from . import math_utils
+from .ray_marcher import mip_ray_marcher, seg_mip_ray_marcher
+
+
+# ---------------------------------------------------------------------------
+# Tri-plane sampling
+
+def project_onto_planes(coordinates: jax.Array) -> jax.Array:
+    """(N, M, 3) xyz → (N, 3, M, 2) projections onto the three EG3D planes.
+
+    Equivalent to bmm with the inverses of the ref axis matrices
+    (renderer.py:23-53): plane0 (x,y), plane1 (x,z), plane2 (z,x).
+    """
+    x, y, z = coordinates[..., 0], coordinates[..., 1], coordinates[..., 2]
+    p0 = jnp.stack([x, y], axis=-1)
+    p1 = jnp.stack([x, z], axis=-1)
+    p2 = jnp.stack([z, x], axis=-1)
+    return jnp.stack([p0, p1, p2], axis=1)
+
+
+def sample_from_planes(plane_features: jax.Array, coordinates: jax.Array,
+                       box_warp: float) -> jax.Array:
+    """plane_features (N, 3, C, H, W), coordinates (N, M, 3) →
+    (N, 3, M, C) bilinear samples (ref: renderer.py:55-65)."""
+    N, n_planes, C, H, W = plane_features.shape
+    M = coordinates.shape[1]
+    coords = (2.0 / box_warp) * coordinates  # scale box to [-1, 1]
+    proj = project_onto_planes(coords).reshape(N * n_planes, M, 2)
+    feats = grid_sample_2d(plane_features.reshape(N * n_planes, C, H, W), proj)
+    # (N*3, C, M) → (N, 3, M, C)
+    return feats.reshape(N, n_planes, C, M).transpose(0, 1, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Depth sampling
+
+def sample_stratified(rng: Optional[jax.Array], ray_origins: jax.Array,
+                      ray_start, ray_end, depth_resolution: int,
+                      disparity_space_sampling: bool = False) -> jax.Array:
+    """(N, R, S, 1) jittered uniform depths (ref: renderer.py:169-192).
+    rng=None gives deterministic bin centers (offset 0.5·Δ) — the jitterless
+    mode used for reproducible inference."""
+    N, R, _ = ray_origins.shape
+    S = depth_resolution
+
+    def jitter(shape, delta):
+        if rng is None:
+            return 0.5 * delta
+        return jax.random.uniform(rng, shape, jnp.float32) * delta
+
+    if disparity_space_sampling:
+        depths = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32).reshape(1, 1, S, 1)
+        depths = jnp.tile(depths, (N, R, 1, 1))
+        delta = 1.0 / (S - 1)
+        depths = depths + jitter((N, R, S, 1), delta)
+        return 1.0 / (1.0 / ray_start * (1.0 - depths) + 1.0 / ray_end * depths)
+
+    if isinstance(ray_start, jax.Array) and ray_start.ndim > 0:
+        # Per-ray tensor bounds (the 'auto' ray-box path, renderer.py:183-186).
+        depths = math_utils.linspace_batch(ray_start, ray_end, S)  # (S, N, R, 1)
+        depths = depths.transpose(1, 2, 0, 3)  # (N, R, S, 1)
+        delta = (ray_end - ray_start) / (S - 1)  # (N, R, 1)
+        return depths + jitter(depths.shape, delta[..., None, :])
+
+    depths = jnp.linspace(float(ray_start), float(ray_end), S, dtype=jnp.float32)
+    depths = jnp.tile(depths.reshape(1, 1, S, 1), (N, R, 1, 1))
+    delta = (ray_end - ray_start) / (S - 1)
+    return depths + jitter((N, R, S, 1), delta)
+
+
+def _smooth_weights(weights: jax.Array) -> jax.Array:
+    """max-pool(2,1,pad1) → avg-pool(2,1) + 0.01 (ref: renderer.py:205-207)."""
+    neg_inf = jnp.asarray(-jnp.inf, weights.dtype)
+    padded = jnp.concatenate(
+        [jnp.full(weights.shape[:-1] + (1,), neg_inf), weights,
+         jnp.full(weights.shape[:-1] + (1,), neg_inf)], axis=-1
+    )
+    maxed = jnp.maximum(padded[..., :-1], padded[..., 1:])  # length L+1
+    avg = (maxed[..., :-1] + maxed[..., 1:]) / 2  # length L
+    return avg + 0.01
+
+
+def sample_pdf(rng: Optional[jax.Array], bins: jax.Array, weights: jax.Array,
+               n_importance: int, eps: float = 1e-5) -> jax.Array:
+    """Inverse-CDF sampling (ref: renderer.py:214-253). bins (N, S+1),
+    weights (N, S) → samples (N, n_importance). rng=None → deterministic
+    uniform spacing (ref det=True)."""
+    N, S = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, S+1)
+
+    if rng is None:
+        u = jnp.tile(jnp.linspace(0.0, 1.0, n_importance, dtype=jnp.float32)[None], (N, 1))
+    else:
+        u = jax.random.uniform(rng, (N, n_importance), jnp.float32)
+
+    # searchsorted(right) as a comparison count — static S keeps this one
+    # fused VPU reduction instead of a gather-heavy binary search.
+    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1)
+    below = jnp.clip(inds - 1, 0, None)
+    above = jnp.clip(inds, None, S)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
+    bins_lo = jnp.take_along_axis(bins, below, axis=1)
+    bins_hi = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_lo + (u - cdf_lo) / denom * (bins_hi - bins_lo)
+
+
+def sample_importance(rng: Optional[jax.Array], z_vals: jax.Array, weights: jax.Array,
+                      n_importance: int) -> jax.Array:
+    """(B, R, S, 1) depths + (B, R, S-1, 1) marcher weights →
+    (B, R, n_importance, 1) resampled depths (ref: renderer.py:194-212)."""
+    B, R, S, _ = z_vals.shape
+    z_flat = jax.lax.stop_gradient(z_vals).reshape(B * R, S)
+    w_flat = jax.lax.stop_gradient(weights).reshape(B * R, -1)
+
+    w_smooth = _smooth_weights(w_flat)
+    z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+    samples = sample_pdf(rng, z_mid, w_smooth[:, 1:-1], n_importance)
+    return samples.reshape(B, R, n_importance, 1)
+
+
+def unify_samples(depths1, depths2, *value_pairs):
+    """Concatenate coarse+fine along the samples axis and sort by depth.
+    value_pairs are (coarse, fine) tuples sharing the (B,R,S,C) layout.
+    Returns (sorted_depths, *sorted_values) (ref: renderer.py:288-300)."""
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    order = jnp.argsort(all_depths, axis=-2)
+    sorted_depths = jnp.take_along_axis(all_depths, order, axis=-2)
+    outs = []
+    for v1, v2 in value_pairs:
+        v = jnp.concatenate([v1, v2], axis=-2)
+        # order has trailing dim 1; take_along_axis broadcasts it over C.
+        outs.append(jnp.take_along_axis(v, order, axis=-2))
+    return (sorted_depths, *outs)
+
+
+# ---------------------------------------------------------------------------
+# Renderer
+
+DecoderFn = Callable[..., Dict[str, jax.Array]]
+
+
+def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
+              coordinates, cfg: RenderingConfig,
+              rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Sample both plane sets at `coordinates` and decode
+    (ref: renderer.py:259-287). For the non-disentangled path pass
+    norm_planes=None and a decoder_fn taking a single feature tensor."""
+    sampled_denorm = sample_from_planes(denorm_planes, coordinates, cfg.box_warp)
+    if norm_planes is None:
+        out = decoder_fn(decoder_params, sampled_denorm)
+    else:
+        sampled_norm = sample_from_planes(norm_planes, coordinates, cfg.box_warp)
+        out = decoder_fn(decoder_params, sampled_norm, sampled_denorm)
+    if cfg.density_noise > 0:
+        assert rng is not None
+        out = dict(out)
+        out["sigma"] = out["sigma"] + (
+            jax.random.normal(rng, out["sigma"].shape, out["sigma"].dtype) * cfg.density_noise
+        )
+    return out
+
+
+def _ray_bounds(ray_origins, ray_directions, cfg: RenderingConfig):
+    if not cfg.ray_auto:
+        return cfg.ray_start, cfg.ray_end
+    t0, t1 = math_utils.get_ray_limits_box(ray_origins, ray_directions, cfg.box_warp)
+    valid = t1 > t0
+    big = jnp.asarray(jnp.inf, t0.dtype)
+    vmin = jnp.min(jnp.where(valid, t0, big))
+    vmax = jnp.max(jnp.where(valid, t0, -big))
+    any_valid = jnp.any(valid)
+    # Invalid rays collapse to the [min, max] of valid ray STARTS — a ref
+    # quirk preserved verbatim (renderer.py:93-96).
+    t0 = jnp.where(valid, t0, jnp.where(any_valid, vmin, t0))
+    t1 = jnp.where(valid, t1, jnp.where(any_valid, vmax, t1))
+    return t0, t1
+
+
+def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
+                ray_origins, ray_directions, cfg: RenderingConfig,
+                rng: Optional[jax.Array] = None,
+                with_seg: bool = True):
+    """Full two-pass hierarchical render (ref: renderer.py:301-363 /
+    82-140).
+
+    Returns (rgb_final, seg_final|None, depth_final, weight_sum), with
+    rgb (B,R,C), seg (B,R,K), depth (B,R,1).
+    """
+    rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
+    B, R, _ = ray_origins.shape
+    S = cfg.depth_resolution
+
+    ray_start, ray_end = _ray_bounds(ray_origins, ray_directions, cfg)
+    depths_coarse = sample_stratified(
+        rngs[0], ray_origins, ray_start, ray_end, S, cfg.disparity_space_sampling
+    )
+
+    def eval_at(depths, rng_eval):
+        S_ = depths.shape[2]
+        coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+        out = run_model(decoder_fn, decoder_params, norm_planes, denorm_planes,
+                        coords, cfg, rng_eval)
+        colors = out["rgb"].reshape(B, R, S_, -1)
+        densities = out["sigma"].reshape(B, R, S_, 1)
+        segs = out.get("seg")
+        segs = None if segs is None else segs.reshape(B, R, S_, -1)
+        return colors, densities, segs
+
+    colors_c, densities_c, segs_c = eval_at(depths_coarse, rngs[1])
+    use_seg = with_seg and segs_c is not None
+
+    N_imp = cfg.depth_resolution_importance
+    if N_imp > 0:
+        if use_seg:
+            _, _, _, weights = seg_mip_ray_marcher(
+                colors_c, segs_c, densities_c, depths_coarse,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+        else:
+            _, _, weights = mip_ray_marcher(
+                colors_c, densities_c, depths_coarse,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+
+        depths_fine = sample_importance(rngs[2], depths_coarse, weights, N_imp)
+        colors_f, densities_f, segs_f = eval_at(depths_fine, rngs[3])
+
+        if use_seg:
+            all_depths, all_colors, all_densities, all_segs = unify_samples(
+                depths_coarse, depths_fine,
+                (colors_c, colors_f), (densities_c, densities_f), (segs_c, segs_f))
+            rgb, seg, depth, weights = seg_mip_ray_marcher(
+                all_colors, all_segs, all_densities, all_depths,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+        else:
+            all_depths, all_colors, all_densities = unify_samples(
+                depths_coarse, depths_fine,
+                (colors_c, colors_f), (densities_c, densities_f))
+            rgb, depth, weights = mip_ray_marcher(
+                all_colors, all_densities, all_depths,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+            seg = None
+    else:
+        if use_seg:
+            rgb, seg, depth, weights = seg_mip_ray_marcher(
+                colors_c, segs_c, densities_c, depths_coarse,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+        else:
+            rgb, depth, weights = mip_ray_marcher(
+                colors_c, densities_c, depths_coarse,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+            seg = None
+
+    return rgb, seg, depth, jnp.sum(weights, axis=2)

@@ -1,0 +1,299 @@
+"""Render-stack tests: ray sampler vs torch oracle, marcher math, importance
+sampling, tri-plane projection semantics."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from nerffaceediting_tpu.config import ffhq_rendering_config
+from nerffaceediting_tpu.render.ray_sampler import sample_rays
+from nerffaceediting_tpu.render.math_utils import get_ray_limits_box, linspace_batch
+from nerffaceediting_tpu.render.ray_marcher import mip_ray_marcher, seg_mip_ray_marcher
+from nerffaceediting_tpu.render.renderer import (
+    project_onto_planes,
+    sample_from_planes,
+    sample_stratified,
+    sample_pdf,
+    sample_importance,
+    unify_samples,
+    render_rays,
+)
+from nerffaceediting_tpu.render.cameras import (
+    lookat_pose,
+    fov_to_intrinsics,
+    camera_params,
+)
+
+
+def torch_ray_sampler(cam2world, intrinsics, resolution):
+    """Oracle transcribing the documented ray contract with torch ops."""
+    c2w = torch.tensor(np.asarray(cam2world))
+    K = torch.tensor(np.asarray(intrinsics))
+    N, M = c2w.shape[0], resolution**2
+    cam_locs = c2w[:, :3, 3]
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy, sk = K[:, 0, 2], K[:, 1, 2], K[:, 0, 1]
+    uv = torch.stack(
+        torch.meshgrid(
+            torch.arange(resolution, dtype=torch.float32),
+            torch.arange(resolution, dtype=torch.float32),
+            indexing="ij",
+        )
+    ) * (1.0 / resolution) + (0.5 / resolution)
+    uv = uv.flip(0).reshape(2, -1).transpose(1, 0)[None].repeat(N, 1, 1)
+    x_cam, y_cam = uv[:, :, 0], uv[:, :, 1]
+    z_cam = torch.ones((N, M))
+    x_lift = (x_cam - cx[:, None] + cy[:, None] * sk[:, None] / fy[:, None]
+              - sk[:, None] * y_cam / fy[:, None]) / fx[:, None] * z_cam
+    y_lift = (y_cam - cy[:, None]) / fy[:, None] * z_cam
+    cam_rel = torch.stack((x_lift, y_lift, z_cam, torch.ones_like(z_cam)), dim=-1)
+    world = torch.bmm(c2w, cam_rel.permute(0, 2, 1)).permute(0, 2, 1)[:, :, :3]
+    dirs = F.normalize(world - cam_locs[:, None, :], dim=2)
+    origins = cam_locs[:, None, :].repeat(1, M, 1)
+    return origins.numpy(), dirs.numpy()
+
+
+class TestRaySampler:
+    def test_matches_oracle(self):
+        cam2world = np.asarray(
+            lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7, batch_size=2)
+        )
+        intr = np.tile(np.asarray(fov_to_intrinsics(18.837))[None], (2, 1, 1))
+        o, d = sample_rays(jnp.asarray(cam2world), jnp.asarray(intr), 16)
+        o_ref, d_ref = torch_ray_sampler(cam2world, intr, 16)
+        np.testing.assert_allclose(np.asarray(o), o_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-4, atol=1e-5)
+
+    def test_dirs_normalized(self):
+        cam2world = np.asarray(lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0), radius=2.7))
+        intr = np.asarray(fov_to_intrinsics(18.837))[None]
+        _, d = sample_rays(jnp.asarray(cam2world), jnp.asarray(intr), 8)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, rtol=1e-5)
+
+
+class TestCameras:
+    def test_lookat_frontal(self):
+        """Frontal pose (h=v=π/2, radius r) places the camera at ~(0,0,r)
+        looking at -z... i.e. toward the origin."""
+        m = np.asarray(lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0), radius=2.7))[0]
+        np.testing.assert_allclose(m[:3, 3], [0, 0, 2.7], atol=1e-5)
+        # forward (third column of rotation) points from camera to origin (-z)
+        np.testing.assert_allclose(m[:3, 2], [0, 0, -1], atol=1e-5)
+
+    def test_camera_params_shape(self):
+        m = lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7, batch_size=3)
+        c = camera_params(m, fov_to_intrinsics(18.837))
+        assert c.shape == (3, 25)
+
+
+class TestRayBox:
+    def test_through_origin_hits(self):
+        o = jnp.asarray([[[0.0, 0.0, -2.0]]])
+        d = jnp.asarray([[[0.0, 0.0, 1.0]]])
+        t0, t1 = get_ray_limits_box(o, d, 1.0)
+        np.testing.assert_allclose(np.asarray(t0)[0, 0, 0], 1.5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t1)[0, 0, 0], 2.5, atol=1e-6)
+
+    def test_miss_returns_sentinels(self):
+        o = jnp.asarray([[[0.0, 5.0, -2.0]]])
+        d = jnp.asarray([[[0.0, 0.0, 1.0]]])
+        t0, t1 = get_ray_limits_box(o, d, 1.0)
+        assert float(t0[0, 0, 0]) == -1.0
+        assert float(t1[0, 0, 0]) == -2.0
+
+    def test_linspace_batch(self):
+        start = jnp.zeros((2, 3))
+        stop = jnp.ones((2, 3)) * 4
+        out = linspace_batch(start, stop, 5)
+        assert out.shape == (5, 2, 3)
+        np.testing.assert_allclose(np.asarray(out)[:, 0, 0], [0, 1, 2, 3, 4], atol=1e-6)
+
+
+def torch_mip_marcher(colors, densities, depths, white_back=False):
+    """Oracle for the MipNeRF marcher (independent transcription of the
+    documented compositing contract)."""
+    c = torch.tensor(np.asarray(colors), dtype=torch.float64)
+    s = torch.tensor(np.asarray(densities), dtype=torch.float64)
+    t = torch.tensor(np.asarray(depths), dtype=torch.float64)
+    deltas = t[:, :, 1:] - t[:, :, :-1]
+    c_mid = (c[:, :, :-1] + c[:, :, 1:]) / 2
+    s_mid = F.softplus((s[:, :, :-1] + s[:, :, 1:]) / 2 - 1)
+    t_mid = (t[:, :, :-1] + t[:, :, 1:]) / 2
+    alpha = 1 - torch.exp(-s_mid * deltas)
+    shifted = torch.cat([torch.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], -2)
+    weights = alpha * torch.cumprod(shifted, -2)[:, :, :-1]
+    rgb = (weights * c_mid).sum(-2)
+    wt = weights.sum(2)
+    depth = (weights * t_mid).sum(-2) / wt
+    depth = torch.nan_to_num(depth, float("inf")).clamp(t.min(), t.max())
+    if white_back:
+        rgb = rgb + 1 - wt
+    return (rgb * 2 - 1).numpy(), depth.numpy(), weights.numpy()
+
+
+class TestRayMarcher:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        B, R, S = 2, 7, 12
+        colors = rng.uniform(0, 1, (B, R, S, 3)).astype(np.float32)
+        densities = rng.normal(0, 2, (B, R, S, 1)).astype(np.float32)
+        depths = np.sort(rng.uniform(2.0, 3.5, (B, R, S, 1)).astype(np.float32), axis=2)
+        rgb, depth, weights = mip_ray_marcher(
+            jnp.asarray(colors), jnp.asarray(densities), jnp.asarray(depths)
+        )
+        rgb_ref, depth_ref, w_ref = torch_mip_marcher(colors, densities, depths)
+        np.testing.assert_allclose(np.asarray(rgb), rgb_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(weights), w_ref, rtol=1e-4, atol=1e-5)
+
+    def test_seg_composited_with_same_weights(self):
+        rng = np.random.default_rng(1)
+        B, R, S, K = 1, 5, 9, 15
+        colors = rng.uniform(0, 1, (B, R, S, 3)).astype(np.float32)
+        segs = rng.normal(size=(B, R, S, K)).astype(np.float32)
+        densities = rng.normal(0, 2, (B, R, S, 1)).astype(np.float32)
+        depths = np.sort(rng.uniform(2.0, 3.5, (B, R, S, 1)).astype(np.float32), axis=2)
+        rgb, seg, depth, weights = seg_mip_ray_marcher(
+            jnp.asarray(colors), jnp.asarray(segs), jnp.asarray(densities), jnp.asarray(depths)
+        )
+        assert seg.shape == (B, R, K)
+        segs_mid = (segs[:, :, :-1] + segs[:, :, 1:]) / 2
+        expected = (np.asarray(weights) * segs_mid).sum(axis=-2)
+        np.testing.assert_allclose(np.asarray(seg), expected, rtol=1e-4, atol=1e-5)
+
+
+class TestPlaneProjection:
+    def test_projection_shuffles_match_reference_matrices(self):
+        """Verify the hardcoded shuffles equal bmm with the inverse of the
+        reference axis matrices (ref renderer.py:23-53)."""
+        planes = torch.tensor(
+            [[[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+             [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+             [[0, 0, 1], [1, 0, 0], [0, 1, 0]]],
+            dtype=torch.float32,
+        )
+        rng = np.random.default_rng(2)
+        coords = rng.normal(size=(2, 50, 3)).astype(np.float32)
+        N, M, _ = coords.shape
+        ct = torch.tensor(coords)[:, None].expand(-1, 3, -1, -1).reshape(N * 3, M, 3)
+        inv = torch.linalg.inv(planes)[None].expand(N, -1, -1, -1).reshape(N * 3, 3, 3)
+        expected = torch.bmm(ct, inv)[..., :2].reshape(N, 3, M, 2).numpy()
+        out = np.asarray(project_onto_planes(jnp.asarray(coords)))
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+    def test_sample_from_planes_matches_torch(self):
+        rng = np.random.default_rng(3)
+        planes = rng.normal(size=(2, 3, 8, 16, 16)).astype(np.float32)
+        coords = rng.uniform(-0.4, 0.4, size=(2, 30, 3)).astype(np.float32)
+        out = np.asarray(sample_from_planes(jnp.asarray(planes), jnp.asarray(coords), box_warp=1.0))
+
+        pt = torch.tensor(planes).reshape(6, 8, 16, 16)
+        proj = np.asarray(project_onto_planes(jnp.asarray(coords * 2.0))).reshape(6, 30, 2)
+        grid = torch.tensor(proj)[:, None]
+        ref = F.grid_sample(pt, grid, mode="bilinear", padding_mode="zeros",
+                            align_corners=False)
+        ref = ref.squeeze(2).permute(0, 2, 1).reshape(2, 3, 30, 8).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestImportanceSampling:
+    def test_stratified_deterministic_bounds(self):
+        origins = jnp.zeros((1, 4, 3))
+        d = sample_stratified(None, origins, 2.25, 3.3, 48)
+        assert d.shape == (1, 4, 48, 1)
+        arr = np.asarray(d)[0, 0, :, 0]
+        assert arr[0] >= 2.25 and arr[-1] <= 3.3 + (3.3 - 2.25) / 47
+        assert np.all(np.diff(arr) > 0)
+
+    def test_stratified_jitter_within_bins(self):
+        origins = jnp.zeros((1, 4, 3))
+        d = np.asarray(sample_stratified(jax.random.key(0), origins, 2.0, 3.0, 10))
+        base = np.linspace(2.0, 3.0, 10)
+        delta = 1.0 / 9
+        assert np.all(d[0, :, :, 0] >= base - 1e-6)
+        assert np.all(d[0, :, :, 0] <= base + delta + 1e-6)
+
+    def test_sample_pdf_deterministic_concentrates(self):
+        """Importance samples should land in the high-weight bin."""
+        bins = jnp.tile(jnp.linspace(0.0, 1.0, 11)[None], (1, 1))
+        weights = jnp.zeros((1, 10)).at[0, 4].set(100.0)
+        out = np.asarray(sample_pdf(None, bins, weights, 16))
+        frac_inside = np.mean((out >= 0.35) & (out <= 0.55))
+        assert frac_inside > 0.8
+
+    def test_sample_pdf_matches_torch_searchsorted(self):
+        rng = np.random.default_rng(4)
+        N, S = 6, 20
+        bins = np.sort(rng.uniform(2, 3, (N, S + 1)).astype(np.float32), axis=1)
+        weights = rng.uniform(0, 1, (N, S)).astype(np.float32)
+        n_imp = 12
+        out = np.asarray(sample_pdf(None, jnp.asarray(bins), jnp.asarray(weights), n_imp))
+
+        wt = torch.tensor(weights) + 1e-5
+        pdf = wt / wt.sum(-1, keepdim=True)
+        cdf = torch.cumsum(pdf, -1)
+        cdf = torch.cat([torch.zeros_like(cdf[:, :1]), cdf], -1)
+        u = torch.linspace(0, 1, n_imp).expand(N, n_imp).contiguous()
+        inds = torch.searchsorted(cdf, u, right=True)
+        below = torch.clamp_min(inds - 1, 0)
+        above = torch.clamp_max(inds, S)
+        sel = torch.stack([below, above], -1).view(N, 2 * n_imp)
+        cdf_g = torch.gather(cdf, 1, sel).view(N, n_imp, 2)
+        bins_g = torch.gather(torch.tensor(bins), 1, sel).view(N, n_imp, 2)
+        denom = cdf_g[..., 1] - cdf_g[..., 0]
+        denom[denom < 1e-5] = 1
+        expected = (bins_g[..., 0] + (u - cdf_g[..., 0]) / denom
+                    * (bins_g[..., 1] - bins_g[..., 0])).numpy()
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+    def test_sample_importance_shape(self):
+        rng_np = np.random.default_rng(5)
+        z = np.sort(rng_np.uniform(2, 3, (1, 8, 48, 1)).astype(np.float32), axis=2)
+        w = rng_np.uniform(0, 1, (1, 8, 47, 1)).astype(np.float32)
+        out = sample_importance(jax.random.key(0), jnp.asarray(z), jnp.asarray(w), 48)
+        assert out.shape == (1, 8, 48, 1)
+        arr = np.asarray(out)
+        assert np.all(arr >= 2.0 - 1e-4) and np.all(arr <= 3.0 + 1e-4)
+
+    def test_unify_samples_sorted(self):
+        rng_np = np.random.default_rng(6)
+        d1 = np.sort(rng_np.uniform(2, 3, (1, 4, 5, 1)).astype(np.float32), axis=2)
+        d2 = np.sort(rng_np.uniform(2, 3, (1, 4, 5, 1)).astype(np.float32), axis=2)
+        c1 = rng_np.normal(size=(1, 4, 5, 3)).astype(np.float32)
+        c2 = rng_np.normal(size=(1, 4, 5, 3)).astype(np.float32)
+        depths, colors = unify_samples(jnp.asarray(d1), jnp.asarray(d2),
+                                       (jnp.asarray(c1), jnp.asarray(c2)))
+        darr = np.asarray(depths)
+        assert darr.shape == (1, 4, 10, 1)
+        assert np.all(np.diff(darr[..., 0], axis=-1) >= 0)
+        # colors follow their depths
+        all_d = np.concatenate([d1, d2], axis=2)
+        all_c = np.concatenate([c1, c2], axis=2)
+        order = np.argsort(all_d, axis=2)
+        expected_c = np.take_along_axis(all_c, np.broadcast_to(order, all_c.shape), axis=2)
+        np.testing.assert_allclose(np.asarray(colors), expected_c, atol=1e-6)
+
+
+class TestRenderRays:
+    def test_end_to_end_shapes_and_finiteness(self):
+        """Two-pass disentangled render over random planes + decoder."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder, disentangled_osg_decoder)
+        cfg = ffhq_rendering_config(depth_resolution=12, depth_resolution_importance=12)
+        key = jax.random.key(0)
+        params = init_disentangled_osg_decoder(key)
+        planes = jax.random.normal(jax.random.key(1), (1, 3, 32, 32, 32)) * 0.1
+        origins = jnp.zeros((1, 16, 3)).at[..., 2].set(-2.7)
+        dirs = jnp.zeros((1, 16, 3)).at[..., 2].set(1.0)
+        rgb, seg, depth, wsum = render_rays(
+            lambda p, xn, xd: disentangled_osg_decoder(p, xn, xd),
+            params, planes, planes, origins, dirs, cfg,
+        )
+        assert rgb.shape == (1, 16, 32)
+        assert seg.shape == (1, 16, 15)
+        assert depth.shape == (1, 16, 1)
+        for t in (rgb, seg, depth, wsum):
+            assert np.all(np.isfinite(np.asarray(t)))
