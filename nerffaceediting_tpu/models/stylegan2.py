@@ -89,6 +89,11 @@ def mapping_apply(params, z, c, *, num_ws: int, num_layers: int,
         x = fully_connected(params[f"fc{idx}"], x, activation="lrelu",
                             lr_multiplier=lr_multiplier)
 
+    if not num_ws:
+        # num_ws=None/0: no broadcast — the conditioning-map case
+        # (ref networks_stylegan2.py:777 D mapping with num_ws=None).
+        return x
+
     ws = jnp.tile(x[:, jnp.newaxis], (1, num_ws, 1))
     if truncation_psi != 1.0:
         w_avg = params["w_avg"]

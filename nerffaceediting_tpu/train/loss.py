@@ -1,0 +1,378 @@
+"""NeRFFaceEditing training losses (rebuild of ref training/loss.py:58-469).
+
+Pure functions; each phase (Gmain / Greg / Dmain / Dreg) is a separate
+jit-able loss returning (scalar, stats-dict). TPU-first departures:
+
+* The per-label histogram loss's Python loop over labels with boolean pixel
+  extraction (ref loss.py:142-154, dynamic shapes) is replaced by masked
+  WEIGHTED histograms: a masked pixel set's histogram equals the full-image
+  histogram with the mask folded into the per-pixel weight, so all 12 label
+  histograms compute as one static einsum batch.
+* R1 grad-of-grad uses `jax.grad` through the dual discriminator
+  (`no_weight_gradients` semantics are native: the inner grad is taken
+  w.r.t. images only).
+* The BiSeNet face parser enters as an injected function (models/bisenet.py)
+  so the loss itself stays model-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DiscriminatorConfig, GeneratorConfig
+from ..models import triplane
+from ..models.discriminator import dual_discriminator, filtered_resizing
+from ..ops import filter2d, setup_filter, resize_bilinear
+from ..editing.masks import remap_seg
+
+
+# ---------------------------------------------------------------------------
+# RGB-uv histogram color loss (ref: loss.py:58-166)
+
+def rgb_uv_histogram(x: jax.Array, weights: Optional[jax.Array] = None,
+                     h: int = 64, sigma: float = 0.02,
+                     intensity_scale: bool = True, eps: float = 1e-6) -> jax.Array:
+    """Differentiable log-chroma histogram (ref RGBuvHistBlock, loss.py:93-124).
+
+    x: (B, 3, N) pixels in (−1, 1). weights: optional (B, N) per-pixel
+    weights (used for masked per-label histograms). Returns (B, 3, h, h),
+    normalized to sum 1 per sample.
+    """
+    x = jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
+    I = x.transpose(0, 2, 1)  # (B, N, 3)
+    if intensity_scale:
+        Iy = jnp.sqrt(jnp.sum(jnp.square(I), axis=-1) + eps)  # (B, N)
+    else:
+        Iy = jnp.ones(I.shape[:2], I.dtype)
+    if weights is not None:
+        Iy = Iy * weights
+
+    grid = jnp.linspace(-3.0, 3.0, h)  # (h,)
+    logI = jnp.log(I + eps)
+    # u = log(c) − log(c_u), v = log(c) − log(c_v) with the channel pairs of
+    # ref loss.py:106-107.
+    Iu = logI - logI[..., jnp.array([1, 0, 0])]  # (B, N, 3)
+    Iv = logI - logI[..., jnp.array([2, 2, 1])]
+
+    def kernel(d):
+        return 1.0 / (1.0 + jnp.square(d) / sigma**2)  # inverse-quadratic
+
+    ku = kernel(jnp.abs(Iu[..., None] - grid))  # (B, N, 3, h)
+    kv = kernel(jnp.abs(Iv[..., None] - grid))
+    hists = jnp.einsum("bn,bnch,bnck->bchk", Iy, ku, kv)
+    total = jnp.sum(hists, axis=(1, 2, 3), keepdims=True)
+    return hists / (total + eps)
+
+
+def hist_distance(target_hist: jax.Array, input_hist: jax.Array) -> jax.Array:
+    """Hellinger distance (ref compute_hist_dist, loss.py:123-126).
+
+    sqrt is offset by a tiny epsilon: empty histogram bins (absent labels)
+    sit exactly at 0 where sqrt' = ∞ and the gradient NaNs out — the torch
+    reference has the same singularity but scrubs it downstream; here the
+    gradient must stay finite inside one jitted step."""
+    tiny = 1e-12
+    diff = jnp.sqrt(target_hist + tiny) - jnp.sqrt(input_hist + tiny)
+    return (1 / 2**0.5) * jnp.sqrt(jnp.sum(jnp.square(diff)) + tiny) / input_hist.shape[0]
+
+
+# label → weight table (ref seg2weight, loss.py:128-141)
+SEG2WEIGHT = {
+    0: 1 / 15, 1: 3 / 15, 2: 1 / 75, 4: 1 / 75, 5: 1 / 75, 7: 1 / 15,
+    8: 1 / 75, 9: 1 / 15, 10: 1 / 15, 12: 1 / 15, 13: 5 / 15, 14: 1 / 15,
+}
+
+
+def per_label_hist_loss(img: jax.Array, seg_logits: jax.Array) -> jax.Array:
+    """Appearance-uniformity loss: per-semantic-label color histograms of
+    every sample must match sample 0's (ref compute_seg_hist_dist,
+    loss.py:142-154). img (B, 3, H, W), seg_logits (B, K, h', w') (resized
+    to img resolution here)."""
+    B, _, H, W = img.shape
+    if seg_logits.shape[-1] != W:
+        seg_logits = resize_bilinear(seg_logits, W)
+    labels = jnp.argmax(seg_logits, axis=1).reshape(B, H * W)  # (B, N)
+    pixels = img.reshape(B, 3, H * W)
+
+    loss = 0.0
+    for lab, weight in SEG2WEIGHT.items():
+        mask = (labels == lab).astype(img.dtype)
+        hists = rgb_uv_histogram(pixels, weights=mask)
+        loss = loss + weight * hist_distance(
+            jax.lax.stop_gradient(hists[:1]), hists[1:]
+        )
+    return loss
+
+
+def whole_hist_loss(img: jax.Array) -> jax.Array:
+    """ref compute_whole_hist_dist (loss.py:156-158)."""
+    B = img.shape[0]
+    hists = rgb_uv_histogram(img.reshape(B, 3, -1))
+    return hist_distance(jax.lax.stop_gradient(hists[:1]), hists[1:])
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+
+def gaussian_blur(img: jax.Array, blur_sigma: float) -> jax.Array:
+    """exp2-Gaussian blur used while fading in D (ref loss.py:222-226).
+    blur_sigma is static (a schedule value baked per compilation)."""
+    blur_size = int(np.floor(blur_sigma * 3))
+    if blur_size <= 0:
+        return img
+    f = np.exp2(-((np.arange(-blur_size, blur_size + 1) / blur_sigma) ** 2))
+    f = jnp.asarray(f / f.sum(), jnp.float32)
+    return filter2d(img, f)
+
+
+def seg_cross_entropy(seg_logits: jax.Array, target_labels: jax.Array) -> jax.Array:
+    """CE over the 15-class seg volume render (ref loss.py:277)."""
+    log_probs = jax.nn.log_softmax(seg_logits, axis=1)  # (B, K, H, W)
+    onehot = jax.nn.one_hot(target_labels, seg_logits.shape[1], axis=1, dtype=log_probs.dtype)
+    return -jnp.mean(jnp.sum(onehot * log_probs, axis=1))
+
+
+def swap_conditioning(rng, c: jax.Array, swapping_prob: Optional[float]) -> jax.Array:
+    """Generator pose-conditioning swap regularization (ref loss.py:211-215):
+    with prob p, condition on the previous sample's camera."""
+    if swapping_prob is None:
+        return jnp.zeros_like(c)
+    c_swapped = jnp.roll(c, 1, axis=0)
+    coin = jax.random.uniform(rng, (c.shape[0], 1)) < swapping_prob
+    return jnp.where(coin, c_swapped, c)
+
+
+# ---------------------------------------------------------------------------
+# Loss configuration
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    r1_gamma: float = 1.0
+    blur_init_sigma: float = 0.0
+    blur_fade_kimg: float = 0.0
+    gpc_reg_prob: Optional[float] = 0.5
+    gpc_reg_fade_kimg: float = 1000.0
+    neural_rendering_resolution_initial: int = 64
+    neural_rendering_resolution_final: Optional[int] = None
+    neural_rendering_resolution_fade_kimg: float = 0.0
+    filter_mode: str = "antialiased"
+    seg_weight: float = 1.0
+    hist_weight: float = 30.0
+    hist_adv: float = 1.0
+    hist_type: str = "per_label"
+    style_mixing_prob: float = 0.0
+    dual_discrimination: bool = True
+
+    def blur_sigma(self, cur_nimg: int) -> float:
+        if self.blur_fade_kimg <= 0:
+            return 0.0
+        return max(1 - cur_nimg / (self.blur_fade_kimg * 1e3), 0) * self.blur_init_sigma
+
+    def swapping_prob(self, cur_nimg: int) -> Optional[float]:
+        if self.gpc_reg_prob is None:
+            return None
+        alpha = min(cur_nimg / (self.gpc_reg_fade_kimg * 1e3), 1) if self.gpc_reg_fade_kimg > 0 else 1
+        return (1 - alpha) * 1 + alpha * self.gpc_reg_prob
+
+    def neural_rendering_resolution(self, cur_nimg: int) -> int:
+        if self.neural_rendering_resolution_final is None:
+            return self.neural_rendering_resolution_initial
+        alpha = min(cur_nimg / (self.neural_rendering_resolution_fade_kimg * 1e3), 1)
+        return int(np.rint(
+            self.neural_rendering_resolution_initial * (1 - alpha)
+            + self.neural_rendering_resolution_final * alpha
+        ))
+
+
+FaceParserFn = Callable[[jax.Array], jax.Array]  # image (B,3,H,W) → 19-class logits
+
+
+# ---------------------------------------------------------------------------
+# Phase losses
+
+def _run_g(g_params, z, c, rng, g_cfg: GeneratorConfig, swapping_prob,
+           neural_rendering_resolution, stats_from_index=None):
+    rng_swap, rng_synth = jax.random.split(rng)
+    c_cond = swap_conditioning(rng_swap, c, swapping_prob)
+    ws = triplane.mapping(g_params, z, c_cond, g_cfg)
+    out = triplane.synthesis(
+        g_params, ws, c, g_cfg,
+        neural_rendering_resolution=neural_rendering_resolution,
+        stats_from_index=stats_from_index, noise_mode="random", rng=rng_synth,
+    )
+    return out, ws
+
+
+def _run_d(d_params, img: Dict, c, d_cfg: DiscriminatorConfig, cfg: LossConfig,
+           blur_sigma: float, rng=None):
+    image = gaussian_blur(img["image"], blur_sigma)
+    return dual_discriminator(
+        d_params, image, img["image_raw"], c, d_cfg,
+        filter_mode=cfg.filter_mode, rng=rng,
+    )
+
+
+def g_main_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
+                d_cfg: DiscriminatorConfig, cfg: LossConfig, cur_nimg: int,
+                face_parser: Optional[FaceParserFn] = None) -> Tuple[jax.Array, Dict]:
+    """Adversarial + segmentation supervision (ref loss.py:266-280)."""
+    rng_g, rng_d = jax.random.split(rng)
+    nrr = cfg.neural_rendering_resolution(cur_nimg)
+    gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg), nrr)
+    logits = _run_d(d_params, gen_img, c, d_cfg, cfg, cfg.blur_sigma(cur_nimg), rng_d)
+    loss_adv = jnp.mean(jax.nn.softplus(-logits))
+
+    stats = {"Loss/G/loss": loss_adv, "Loss/scores/fake": jnp.mean(logits)}
+    loss = loss_adv
+    if face_parser is not None and cfg.seg_weight > 0:
+        # BiSeNet labels at render resolution supervise the seg volume
+        # (ref loss.py:276-277); the parser is frozen → stop_gradient.
+        parsed = face_parser(jnp.clip(gen_img["image"], -1, 1))
+        parsed = resize_bilinear(parsed, nrr)
+        target = remap_seg(jnp.argmax(jax.lax.stop_gradient(parsed), axis=1))
+        loss_seg = seg_cross_entropy(gen_img["image_seg"], target)
+        stats["Loss/G/seg"] = loss_seg
+        loss = loss + loss_seg * cfg.seg_weight
+    return loss, stats
+
+
+def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
+               d_cfg: DiscriminatorConfig, cfg: LossConfig,
+               cur_nimg: int) -> Tuple[jax.Array, Dict]:
+    """Histogram color regularization on the statistics-swapped batch +
+    adversarial term + density regularization (ref loss.py:283-419)."""
+    rng_g, rng_d, rng_dens = jax.random.split(rng, 3)
+    nrr = cfg.neural_rendering_resolution(cur_nimg)
+    stats: Dict = {}
+    loss = jnp.asarray(0.0)
+
+    if cfg.hist_weight > 0 or cfg.hist_adv > 0:
+        # Whole batch re-rendered wearing sample 0's appearance statistics
+        # (ref loss.py:284: planes_mean=0, planes_var=0).
+        gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
+                            nrr, stats_from_index=0)
+        if cfg.hist_weight > 0:
+            if cfg.hist_type == "per_label":
+                loss_hist = (
+                    per_label_hist_loss(gen_img["image_raw"], gen_img["image_seg"])
+                    + per_label_hist_loss(gen_img["image"], gen_img["image_seg"])
+                )
+            elif cfg.hist_type == "whole":
+                loss_hist = whole_hist_loss(gen_img["image_raw"]) + whole_hist_loss(gen_img["image"])
+            else:
+                raise ValueError(f"unknown hist_type {cfg.hist_type!r}")
+            stats["Loss/G/hist"] = loss_hist
+            loss = loss + loss_hist * cfg.hist_weight
+        if cfg.hist_adv > 0:
+            logits = _run_d(d_params, gen_img, c, d_cfg, cfg, cfg.blur_sigma(cur_nimg), rng_d)
+            loss_hist_adv = jnp.mean(jax.nn.softplus(-logits))
+            stats["Loss/G/hist_loss"] = loss_hist_adv
+            loss = loss + loss_hist_adv * cfg.hist_adv
+
+    if g_cfg.rendering.density_reg > 0:
+        loss_dens = density_regularization(g_params, z, c, rng_dens, g_cfg, cfg, cur_nimg)
+        stats["Loss/G/density_reg"] = loss_dens
+        loss = loss + loss_dens
+    return loss, stats
+
+
+def density_regularization(g_params, z, c, rng, g_cfg: GeneratorConfig,
+                           cfg: LossConfig, cur_nimg: int) -> jax.Array:
+    """Density TV/monotonicity regularizers (ref loss.py:310-419)."""
+    reg_type = g_cfg.rendering.reg_type
+    rng_swap, rng_pts, rng_noise = jax.random.split(rng, 3)
+    c_cond = swap_conditioning(rng_swap, c, cfg.swapping_prob(cur_nimg))
+    ws = triplane.mapping(g_params, z, c_cond, g_cfg)
+    B = ws.shape[0]
+
+    def sigma_pair(n_pts, perturb):
+        pts = jax.random.uniform(rng_pts, (B, n_pts, 3)) * 2 - 1
+        all_pts = jnp.concatenate([pts, pts + perturb(pts)], axis=1)
+        sigma = triplane.sample_points(g_params, all_pts, ws, g_cfg)["sigma"]
+        return sigma[:, :n_pts], sigma[:, n_pts:]
+
+    if reg_type == "l1":
+        s0, s1 = sigma_pair(
+            1000,
+            lambda p: jax.random.normal(rng_noise, p.shape) * g_cfg.rendering.density_reg_p_dist,
+        )
+        return jnp.mean(jnp.abs(s0 - s1)) * g_cfg.rendering.density_reg
+
+    if reg_type in ("monotonic-detach", "monotonic-fixed"):
+        # Behind-the-face monotonicity (ref loss.py:334-419).
+        back = jnp.asarray([0.0, 0.0, -1.0]) * (1 / 256) * g_cfg.rendering.box_warp
+        s0, s1 = sigma_pair(2000, lambda p: jnp.broadcast_to(back, p.shape))
+        if reg_type == "monotonic-detach":
+            mono = jnp.mean(jax.nn.relu(jax.lax.stop_gradient(s0) - s1)) * 10
+        else:
+            mono = jnp.mean(jax.nn.relu(s0 - s1)) * 10
+        t0, t1 = sigma_pair(
+            1000,
+            lambda p: jax.random.normal(rng_noise, p.shape) * (1 / 256) * g_cfg.rendering.box_warp,
+        )
+        tv = jnp.mean(jnp.abs(t0 - t1)) * g_cfg.rendering.density_reg
+        return mono + tv
+
+    raise ValueError(f"unknown reg_type {reg_type!r}")
+
+
+def d_main_loss(d_params, g_params, z, c, real_img, real_c, rng, *,
+                g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
+                cfg: LossConfig, cur_nimg: int) -> Tuple[jax.Array, Dict]:
+    """softplus(D(fake)) + softplus(−D(real)) (ref loss.py:421-449)."""
+    rng_g, rng_d1, rng_d2 = jax.random.split(rng, 3)
+    nrr = cfg.neural_rendering_resolution(cur_nimg)
+    blur_sigma = cfg.blur_sigma(cur_nimg)
+
+    gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg), nrr)
+    gen_img = jax.lax.stop_gradient(gen_img)
+    gen_logits = _run_d(d_params, gen_img, c, d_cfg, cfg, blur_sigma, rng_d1)
+    loss_dgen = jnp.mean(jax.nn.softplus(gen_logits))
+
+    real = prepare_real_image(real_img, nrr, blur_sigma, cfg)
+    real_logits = _run_d(d_params, real, real_c, d_cfg, cfg, blur_sigma, rng_d2)
+    loss_dreal = jnp.mean(jax.nn.softplus(-real_logits))
+
+    stats = {
+        "Loss/D/loss": loss_dgen + loss_dreal,
+        "Loss/scores/real": jnp.mean(real_logits),
+        "Loss/signs/real": jnp.mean(jnp.sign(real_logits)),
+        "Loss/scores/fake": jnp.mean(gen_logits),
+    }
+    return loss_dgen + loss_dreal, stats
+
+
+def prepare_real_image(real_img: jax.Array, nrr: int, blur_sigma: float,
+                       cfg: LossConfig) -> Dict[str, jax.Array]:
+    """Build the dual-input dict from a real image: raw = filtered downsample
+    to render resolution, optionally blurred (ref loss.py:255-262)."""
+    f = setup_filter([1, 3, 3, 1])
+    raw = filtered_resizing(real_img, nrr, f, cfg.filter_mode)
+    raw = gaussian_blur(raw, blur_sigma)
+    return {"image": real_img, "image_raw": raw}
+
+
+def d_reg_loss(d_params, real_img, real_c, rng, *, d_cfg: DiscriminatorConfig,
+               cfg: LossConfig, cur_nimg: int) -> Tuple[jax.Array, Dict]:
+    """R1 penalty on both dual-discriminator inputs (ref loss.py:450-469)."""
+    nrr = cfg.neural_rendering_resolution(cur_nimg)
+    blur_sigma = cfg.blur_sigma(cur_nimg)
+    real = prepare_real_image(real_img, nrr, blur_sigma, cfg)
+
+    def logit_sum(image, image_raw):
+        return jnp.sum(_run_d(d_params, {"image": image, "image_raw": image_raw},
+                              real_c, d_cfg, cfg, blur_sigma, rng))
+
+    g_image, g_raw = jax.grad(logit_sum, argnums=(0, 1))(real["image"], real["image_raw"])
+    if cfg.dual_discrimination:
+        r1 = jnp.sum(jnp.square(g_image), axis=(1, 2, 3)) + jnp.sum(
+            jnp.square(g_raw), axis=(1, 2, 3))
+    else:
+        r1 = jnp.sum(jnp.square(g_image), axis=(1, 2, 3))
+    loss = jnp.mean(r1) * (cfg.r1_gamma / 2)
+    return loss, {"Loss/r1_penalty": jnp.mean(r1), "Loss/D/reg": loss}

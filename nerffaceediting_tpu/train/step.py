@@ -1,0 +1,174 @@
+"""Optimization step: phase machinery, lazy regularization, EMA.
+
+Rebuild of the reference's phase loop (ref training/training_loop.py:250-365):
+Gmain / Greg@4 / Dmain / Dreg@16 with lazy-regularization lr/β scaling
+(mb_ratio = r/(r+1), training_loop.py:255-259), gradient NaN scrubbing
+(training_loop.py:344), and G_ema lerp with ramped β
+(training_loop.py:355-365).
+
+One jitted function per phase combination (the static flags pick at most 4
+compiled variants). Data parallelism is implicit: with params replicated and
+batches sharded over the mesh's `data` axis, XLA emits the psum that replaces
+the reference's flat-tensor all_reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import DiscriminatorConfig, GeneratorConfig
+from . import loss as loss_mod
+from .loss import LossConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """ref train.py:227-228,249-250: Adam β=(0,0.99); G lr 2.5e-3, D lr 2e-3."""
+
+    g_lr: float = 0.0025
+    d_lr: float = 0.002
+    beta1: float = 0.0
+    beta2: float = 0.99
+    eps: float = 1e-8
+    g_reg_interval: Optional[int] = 4    # density/hist reg cadence (train.py:341)
+    d_reg_interval: Optional[int] = 16   # R1 cadence (training_loop.py:147)
+
+    def lazy(self, lr: float, interval: Optional[int]):
+        """Lazy-regularization scaling (ref training_loop.py:255-259)."""
+        if interval is None:
+            return lr, self.beta1, self.beta2
+        mb_ratio = interval / (interval + 1)
+        return lr * mb_ratio, self.beta1**mb_ratio, self.beta2**mb_ratio
+
+
+def make_optimizers(cfg: OptimizerConfig):
+    g_lr, g_b1, g_b2 = cfg.lazy(cfg.g_lr, cfg.g_reg_interval)
+    d_lr, d_b1, d_b2 = cfg.lazy(cfg.d_lr, cfg.d_reg_interval)
+    g_opt = optax.adam(g_lr, b1=g_b1, b2=g_b2, eps=cfg.eps)
+    d_opt = optax.adam(d_lr, b1=d_b1, b2=d_b2, eps=cfg.eps)
+    return g_opt, d_opt
+
+
+class TrainState(NamedTuple):
+    g_params: Any
+    d_params: Any
+    g_ema: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    cur_nimg: jax.Array  # int32 scalar
+
+
+def init_train_state(g_params, d_params, opt_cfg: OptimizerConfig) -> TrainState:
+    g_opt, d_opt = make_optimizers(opt_cfg)
+    return TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_ema=jax.tree.map(jnp.copy, g_params),
+        g_opt_state=g_opt.init(g_params),
+        d_opt_state=d_opt.init(d_params),
+        cur_nimg=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _scrub(grads):
+    """NaN/Inf scrub (ref training_loop.py:344 nan_to_num on flat grads)."""
+    return jax.tree.map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads
+    )
+
+
+def ema_beta(batch_size: int, cur_nimg, ema_kimg: float, ema_rampup: Optional[float]):
+    """ref training_loop.py:355-360."""
+    ema_nimg = ema_kimg * 1000
+    if ema_rampup is not None:
+        ema_nimg = jnp.minimum(ema_nimg, cur_nimg * ema_rampup)
+    return jnp.asarray(0.5, jnp.float32) ** (batch_size / jnp.maximum(ema_nimg, 1e-8))
+
+
+@partial(jax.jit, static_argnames=(
+    "g_cfg", "d_cfg", "loss_cfg", "opt_cfg", "do_greg", "do_dreg",
+    "batch_size", "ema_kimg", "ema_rampup", "cur_nimg_static", "has_parser"))
+def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
+               g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
+               loss_cfg: LossConfig, opt_cfg: OptimizerConfig,
+               do_greg: bool, do_dreg: bool, batch_size: int,
+               ema_kimg: float = 10.0, ema_rampup: Optional[float] = 0.05,
+               cur_nimg_static: int = 0, has_parser: bool = False,
+               face_parser_params=None,
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One full optimization iteration: Gmain [+Greg], Dmain [+Dreg], EMA.
+
+    cur_nimg_static bakes the blur/resolution schedules into the trace (they
+    change every ~100s of kimg; recompilation at schedule boundaries is the
+    TPU-correct tradeoff vs dynamic shapes).
+    """
+    g_opt, d_opt = make_optimizers(opt_cfg)
+    rngs = jax.random.split(rng, 4)
+    stats: Dict[str, jax.Array] = {}
+
+    face_parser = None
+    if has_parser:
+        from ..models.bisenet import bisenet_apply
+        face_parser = lambda img: bisenet_apply(face_parser_params, img)
+
+    # ---- Gmain (+ gain handled by lazy-reg lr scaling; ref applies phase
+    # gain via loss scaling — identical for Adam up to the lazy-lr factor).
+    def gmain(g_params):
+        return loss_mod.g_main_loss(
+            g_params, state.d_params, z, gen_c, rngs[0], g_cfg=g_cfg, d_cfg=d_cfg,
+            cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser)
+
+    (_, g_stats), g_grads = jax.value_and_grad(gmain, has_aux=True)(state.g_params)
+    stats.update(g_stats)
+
+    if do_greg:
+        def greg(g_params):
+            return loss_mod.g_reg_loss(
+                g_params, state.d_params, z, gen_c, rngs[1], g_cfg=g_cfg,
+                d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
+
+        (_, reg_stats), reg_grads = jax.value_and_grad(greg, has_aux=True)(state.g_params)
+        stats.update(reg_stats)
+        g_grads = jax.tree.map(jnp.add, g_grads, reg_grads)
+
+    g_updates, g_opt_state = g_opt.update(_scrub(g_grads), state.g_opt_state, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    # ---- Dmain (+ R1)
+    def dmain(d_params):
+        return loss_mod.d_main_loss(
+            d_params, g_params, z, gen_c, real_img, real_c, rngs[2], g_cfg=g_cfg,
+            d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
+
+    (_, d_stats), d_grads = jax.value_and_grad(dmain, has_aux=True)(state.d_params)
+    stats.update(d_stats)
+
+    if do_dreg:
+        def dreg(d_params):
+            return loss_mod.d_reg_loss(
+                d_params, real_img, real_c, rngs[3], d_cfg=d_cfg, cfg=loss_cfg,
+                cur_nimg=cur_nimg_static)
+
+        (_, r1_stats), r1_grads = jax.value_and_grad(dreg, has_aux=True)(state.d_params)
+        stats.update(r1_stats)
+        d_grads = jax.tree.map(jnp.add, d_grads, r1_grads)
+
+    d_updates, d_opt_state = d_opt.update(_scrub(d_grads), state.d_opt_state, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # ---- G_ema lerp (ref training_loop.py:361-365)
+    beta = ema_beta(batch_size, state.cur_nimg, ema_kimg, ema_rampup)
+    g_ema = jax.tree.map(lambda e, p: p + (e - p) * beta, state.g_ema, g_params)
+
+    new_state = TrainState(
+        g_params=g_params, d_params=d_params, g_ema=g_ema,
+        g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+        cur_nimg=state.cur_nimg + batch_size,
+    )
+    return new_state, stats
