@@ -1,0 +1,152 @@
+"""Training loop orchestration.
+
+Rebuild of ref training/training_loop.py:128-514 around the jitted
+train_step: dataset iterator → phase-scheduled steps → ticks with stats →
+snapshot grids + orbax checkpoints. Recovery is checkpoint-granular like the
+reference (resume from any snapshot); grad NaN scrubbing lives inside the
+step. Cooperative abort/progress hooks mirror ref :159-160,402-406."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DiscriminatorConfig, GeneratorConfig
+from ..models import triplane
+from ..models.discriminator import init_dual_discriminator
+from ..parallel import mesh as mesh_lib
+from ..utils.training_stats import Collector, StatsLogger
+from .loss import LossConfig
+from .step import OptimizerConfig, TrainState, init_train_state, train_step
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    run_dir: str = "runs/exp0"
+    total_kimg: int = 25000          # ref train.py:160
+    kimg_per_tick: int = 4           # ref train.py:161
+    snapshot_ticks: int = 50         # ref train.py:162
+    batch_size: int = 32             # ref start.sh
+    ema_kimg: float = 10.0           # batch·10/32 (ref train.py:269)
+    ema_rampup: Optional[float] = 0.05
+    seed: int = 0
+    face_parser_path: Optional[str] = None  # 79999_iter.pth for seg loss
+
+
+def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
+                  loss_cfg: LossConfig, opt_cfg: OptimizerConfig,
+                  tcfg: TrainingConfig, data_iter,
+                  resume_state: Optional[TrainState] = None,
+                  abort_fn: Optional[Callable[[], bool]] = None,
+                  progress_fn: Optional[Callable[[int, int], None]] = None,
+                  max_steps: Optional[int] = None) -> TrainState:
+    """Run training; returns the final state. `data_iter` yields
+    {'image': (B,3,R,R) float32 in (−1,1), 'label': (B,25)} host batches."""
+    os.makedirs(tcfg.run_dir, exist_ok=True)
+    mesh = mesh_lib.make_mesh()
+    rng = jax.random.key(tcfg.seed)
+
+    # Construction + optional resume (ref training_loop.py:190-217).
+    if resume_state is None:
+        rng, k_g, k_d = jax.random.split(rng, 3)
+        g_params = triplane.init_generator(k_g, g_cfg)
+        d_params = init_dual_discriminator(k_d, d_cfg)
+        state = init_train_state(g_params, d_params, opt_cfg)
+    else:
+        state = resume_state
+    state = mesh_lib.replicate(mesh, state)
+
+    face_parser_params = None
+    has_parser = False
+    if tcfg.face_parser_path:
+        from ..io.torch_converter import convert_bisenet_state_dict
+        import torch
+
+        sd = torch.load(tcfg.face_parser_path, map_location="cpu")
+        face_parser_params = mesh_lib.replicate(mesh, convert_bisenet_state_dict(sd))
+        has_parser = True
+
+    collector = Collector()
+    logger = StatsLogger(tcfg.run_dir)
+    ema_kimg = tcfg.batch_size * 10 / 32  # ref train.py:269
+
+    step_idx = 0
+    cur_nimg = int(state.cur_nimg)
+    tick_start_nimg = cur_nimg
+    tick_start_time = time.time()
+    start_time = tick_start_time
+    total_steps = (tcfg.total_kimg * 1000 - cur_nimg) // tcfg.batch_size
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+
+    g_int = opt_cfg.g_reg_interval or 0
+    d_int = opt_cfg.d_reg_interval or 0
+
+    while step_idx < total_steps:
+        batch = next(data_iter)
+        sharded = mesh_lib.shard_batch(mesh, {
+            "real_img": jnp.asarray(batch["image"]),
+            "real_c": jnp.asarray(batch["label"]),
+        })
+        rng, k_z, k_step = jax.random.split(rng, 3)
+        z = mesh_lib.shard_batch(mesh, jax.random.normal(k_z, (tcfg.batch_size, g_cfg.z_dim)))
+        # generator conditioning labels = real labels (swapping inside loss)
+        gen_c = sharded["real_c"]
+
+        do_greg = g_int > 0 and step_idx % g_int == 0
+        do_dreg = d_int > 0 and step_idx % d_int == 0
+        # schedule values are static per ~tick (recompile at boundaries)
+        nimg_bucket = (cur_nimg // (tcfg.kimg_per_tick * 1000)) * tcfg.kimg_per_tick * 1000
+
+        state, stats = train_step(
+            state, sharded["real_img"], sharded["real_c"], z, gen_c, k_step,
+            g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg,
+            do_greg=do_greg, do_dreg=do_dreg, batch_size=tcfg.batch_size,
+            ema_kimg=ema_kimg, ema_rampup=tcfg.ema_rampup,
+            cur_nimg_static=nimg_bucket, has_parser=has_parser,
+            face_parser_params=face_parser_params,
+        )
+        collector.update({k: float(v) for k, v in stats.items()})
+        cur_nimg += tcfg.batch_size
+        step_idx += 1
+
+        # Tick (ref training_loop.py:377-399).
+        if cur_nimg - tick_start_nimg >= tcfg.kimg_per_tick * 1000:
+            now = time.time()
+            sec_per_kimg = (now - tick_start_time) / max(
+                (cur_nimg - tick_start_nimg) / 1e3, 1e-8)
+            print(f"tick kimg {cur_nimg/1e3:.1f} "
+                  f"time {now - start_time:.0f}s sec/kimg {sec_per_kimg:.1f} "
+                  f"G/loss {collector.mean('Loss/G/loss'):.3f} "
+                  f"D/loss {collector.mean('Loss/D/loss'):.3f}")
+            logger.log(collector, cur_nimg)
+            collector.reset()
+            tick_start_nimg = cur_nimg
+            tick_start_time = now
+
+            n_ticks = cur_nimg // (tcfg.kimg_per_tick * 1000)
+            if tcfg.snapshot_ticks and n_ticks % tcfg.snapshot_ticks == 0:
+                save_snapshot(tcfg.run_dir, state, cur_nimg)
+            if progress_fn is not None:
+                progress_fn(cur_nimg // 1000, tcfg.total_kimg)
+            if abort_fn is not None and abort_fn():
+                break
+
+    logger.close()
+    return state
+
+
+def save_snapshot(run_dir: str, state: TrainState, cur_nimg: int) -> None:
+    """Snapshot pickle equivalent (ref training_loop.py:448-460) as orbax."""
+    from ..io.checkpoint import save_checkpoint
+
+    path = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
+    save_checkpoint(path, state._asdict())
+    print(f"saved snapshot {path}")
