@@ -1,0 +1,97 @@
+"""Metric math tests (FID/KID/IS/PR cores against analytic cases)."""
+
+import numpy as np
+import pytest
+
+from nerffaceediting_tpu.metrics.feature_stats import FeatureStats
+from nerffaceediting_tpu.metrics.metric_main import (
+    frechet_distance,
+    inception_score,
+    kernel_distance,
+    list_metrics,
+    precision_recall,
+)
+
+
+class TestFeatureStats:
+    def test_mean_cov_streaming(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1000, 16)).astype(np.float32)
+        stats = FeatureStats(capture_mean_cov=True)
+        for chunk in np.array_split(x, 7):
+            stats.append(chunk)
+        mean, cov = stats.get_mean_cov()
+        np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-5)
+        np.testing.assert_allclose(cov, np.cov(x.T, bias=True), atol=1e-4)
+
+    def test_max_items_cap(self):
+        stats = FeatureStats(capture_all=True, max_items=10)
+        stats.append(np.ones((7, 4), np.float32))
+        stats.append(np.ones((7, 4), np.float32))
+        assert stats.num_items == 10
+        assert stats.get_all().shape == (10, 4)
+
+
+class TestFrechet:
+    def test_identical_distributions_zero(self):
+        rng = np.random.default_rng(1)
+        mu = rng.normal(size=8)
+        a = rng.normal(size=(8, 8))
+        cov = a @ a.T + np.eye(8)
+        assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+
+    def test_mean_shift(self):
+        mu1 = np.zeros(4)
+        mu2 = np.ones(4) * 2
+        cov = np.eye(4)
+        np.testing.assert_allclose(frechet_distance(mu1, cov, mu2, cov), 16.0, atol=1e-6)
+
+    def test_isotropic_analytic(self):
+        # FID between N(0, a²I) and N(0, b²I) in d dims = d(a-b)²
+        d, a, b = 6, 1.0, 3.0
+        got = frechet_distance(np.zeros(d), np.eye(d) * a**2, np.zeros(d), np.eye(d) * b**2)
+        np.testing.assert_allclose(got, d * (a - b) ** 2, atol=1e-6)
+
+
+class TestKID:
+    def test_same_distribution_near_zero(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(500, 16))
+        y = rng.normal(size=(500, 16))
+        k_same = kernel_distance(x, y, num_subsets=20, max_subset_size=200)
+        k_diff = kernel_distance(x, y + 3.0, num_subsets=20, max_subset_size=200)
+        assert abs(k_same) < abs(k_diff)
+        assert k_diff > 0.1
+
+
+class TestIS:
+    def test_confident_uniform_classifier(self):
+        # perfectly confident, perfectly diverse → IS = num_classes
+        n, k = 1000, 10
+        probs = np.eye(k)[np.arange(n) % k]
+        probs = probs * 0.999 + 0.001 / k
+        score, _ = inception_score(probs, num_splits=5)
+        assert score > 8.0
+        # collapsed generator → IS ≈ 1
+        probs_collapsed = np.tile(np.eye(k)[0] * 0.999 + 0.001 / k, (n, 1))
+        score_c, _ = inception_score(probs_collapsed, num_splits=5)
+        assert score_c < 1.1
+
+
+class TestPrecisionRecall:
+    def test_identical_supports(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(300, 8))
+        p, r = precision_recall(x, x + rng.normal(size=(300, 8)) * 0.01)
+        assert p > 0.9 and r > 0.9
+
+    def test_disjoint_supports(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(200, 8))
+        y = rng.normal(size=(200, 8)) + 50.0
+        p, r = precision_recall(x, y)
+        assert p < 0.1 and r < 0.1
+
+
+def test_registry():
+    assert {"fid", "kid", "pr", "ppl"} <= set(list_metrics())
