@@ -1,0 +1,174 @@
+"""Training CLI (rebuild of ref train.py:129-398).
+
+Maps the reference's click options to our config dataclasses and launches the
+training loop. No process spawning: one JAX process drives all local devices
+(multi-host via jax.distributed, SURVEY §2.5 TPU-native equivalent).
+
+Example (the official config, ref start.sh):
+  python -m nerffaceediting_tpu.apps.train --data ffhq512.zip --outdir runs \
+      --batch 32 --gamma 1 --gen-pose-cond --hist-type per_label
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from typing import Optional
+
+import jax
+
+
+def make_run_dir(outdir: str, desc: str) -> str:
+    """Auto-numbered run dirs (ref train.py:60-67)."""
+    os.makedirs(outdir, exist_ok=True)
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(outdir)
+        if (m := re.match(r"^(\d+)-", d))
+    ]
+    run_id = max(existing, default=-1) + 1
+    run_dir = os.path.join(outdir, f"{run_id:05d}-{desc}")
+    os.makedirs(run_dir)
+    return run_dir
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", required=True, help="dataset dir or zip")
+    p.add_argument("--outdir", default="runs")
+    p.add_argument("--cfg", default="ffhq", choices=["ffhq", "afhq", "shapenet"])
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--gamma", type=float, default=1.0, help="R1 weight")
+    p.add_argument("--glr", type=float, default=0.0025)
+    p.add_argument("--dlr", type=float, default=0.002)
+    p.add_argument("--cbase", type=int, default=32768)
+    p.add_argument("--cmax", type=int, default=512)
+    p.add_argument("--map-depth", type=int, default=2)
+    p.add_argument("--kimg", type=int, default=25000)
+    p.add_argument("--tick", type=int, default=4)
+    p.add_argument("--snap", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gen-pose-cond", action="store_true")
+    p.add_argument("--gpc-reg-prob", type=float, default=0.5)
+    p.add_argument("--c-scale", type=float, default=1.0)
+    p.add_argument("--density-reg", type=float, default=0.25)
+    p.add_argument("--density-reg-every", type=int, default=4)
+    p.add_argument("--density-reg-p-dist", type=float, default=0.004)
+    p.add_argument("--reg-type", default="l1",
+                   choices=["l1", "monotonic-detach", "monotonic-fixed"])
+    p.add_argument("--seg-weight", type=float, default=1.0)
+    p.add_argument("--hist-weight", type=float, default=30.0)
+    p.add_argument("--hist-adv", type=float, default=1.0)
+    p.add_argument("--hist-type", default="per_label", choices=["per_label", "whole"])
+    p.add_argument("--blur-fade-kimg", type=float, default=200.0)
+    p.add_argument("--neural-rendering-resolution-initial", type=int, default=64)
+    p.add_argument("--neural-rendering-resolution-final", type=int, default=None)
+    p.add_argument("--neural-rendering-resolution-fade-kimg", type=int, default=1000)
+    p.add_argument("--aug", default="noaug", choices=["noaug", "ada", "fixed"])
+    p.add_argument("--disc-c-noise", type=float, default=0.0)
+    p.add_argument("--face-parser", default=None,
+                   help="path to 79999_iter.pth for the seg loss")
+    p.add_argument("--resume", default=None, help="orbax checkpoint to resume")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--max-steps", type=int, default=None)
+    return p
+
+
+def configs_from_args(args):
+    from ..config import (
+        DiscriminatorConfig, ffhq_generator_config, ffhq_rendering_config)
+    from ..train.loss import LossConfig
+    from ..train.step import OptimizerConfig
+
+    # cfg-specific rendering block (ref train.py:305-335)
+    if args.cfg == "ffhq":
+        rendering = ffhq_rendering_config(
+            c_gen_conditioning_zero=not args.gen_pose_cond,
+            c_scale=args.c_scale,
+            density_reg=args.density_reg,
+            density_reg_p_dist=args.density_reg_p_dist,
+            reg_type=args.reg_type,
+        )
+    elif args.cfg == "afhq":
+        rendering = ffhq_rendering_config(
+            avg_camera_pivot=(0.0, 0.0, -0.06),
+            c_gen_conditioning_zero=not args.gen_pose_cond,
+            c_scale=args.c_scale, density_reg=args.density_reg,
+            density_reg_p_dist=args.density_reg_p_dist, reg_type=args.reg_type,
+        )
+    else:  # shapenet (ref train.py:327-335)
+        rendering = ffhq_rendering_config(
+            depth_resolution=64, depth_resolution_importance=64,
+            ray_start=0.1, ray_end=2.6, box_warp=1.6, white_back=True,
+            avg_camera_radius=1.7, avg_camera_pivot=(0.0, 0.0, 0.0),
+            c_gen_conditioning_zero=not args.gen_pose_cond,
+            c_scale=args.c_scale, density_reg=args.density_reg,
+            density_reg_p_dist=args.density_reg_p_dist, reg_type=args.reg_type,
+        )
+
+    g_cfg = ffhq_generator_config(
+        channel_base=args.cbase, channel_max=args.cmax,
+        mapping_layers=args.map_depth, rendering=rendering,
+    )
+    d_cfg = DiscriminatorConfig(
+        channel_base=args.cbase, channel_max=args.cmax,
+        disc_c_noise=args.disc_c_noise,
+    )
+    loss_cfg = LossConfig(
+        r1_gamma=args.gamma,
+        gpc_reg_prob=args.gpc_reg_prob if args.gen_pose_cond else None,
+        seg_weight=args.seg_weight, hist_weight=args.hist_weight,
+        hist_adv=args.hist_adv, hist_type=args.hist_type,
+        blur_init_sigma=10.0 if args.blur_fade_kimg > 0 else 0.0,
+        blur_fade_kimg=args.blur_fade_kimg,
+        neural_rendering_resolution_initial=args.neural_rendering_resolution_initial,
+        neural_rendering_resolution_final=args.neural_rendering_resolution_final,
+        neural_rendering_resolution_fade_kimg=args.neural_rendering_resolution_fade_kimg,
+    )
+    opt_cfg = OptimizerConfig(
+        g_lr=args.glr, d_lr=args.dlr,
+        g_reg_interval=args.density_reg_every if args.density_reg > 0 else None,
+        d_reg_interval=16,
+    )
+    return g_cfg, d_cfg, loss_cfg, opt_cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    g_cfg, d_cfg, loss_cfg, opt_cfg = configs_from_args(args)
+
+    desc = f"{args.cfg}-b{args.batch}-gamma{args.gamma}"
+    run_dir = make_run_dir(args.outdir, desc)
+    with open(os.path.join(run_dir, "training_options.json"), "w") as f:
+        json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+    print(f"run dir: {run_dir}; devices: {jax.devices()}")
+
+    if args.dry_run:
+        print("dry run OK")
+        return
+
+    from ..train.dataset import ImageFolderDataset, data_iterator
+    from ..train.loop import TrainingConfig, training_loop
+
+    dataset = ImageFolderDataset(args.data, resolution=g_cfg.img_resolution)
+    data_iter = data_iterator(dataset, args.batch, seed=args.seed)
+
+    tcfg = TrainingConfig(
+        run_dir=run_dir, total_kimg=args.kimg, kimg_per_tick=args.tick,
+        snapshot_ticks=args.snap, batch_size=args.batch, seed=args.seed,
+        face_parser_path=args.face_parser,
+    )
+    resume_state = None
+    if args.resume:
+        from ..io.checkpoint import load_checkpoint
+        from ..train.step import TrainState
+
+        resume_state = TrainState(**load_checkpoint(args.resume))
+    training_loop(g_cfg, d_cfg, loss_cfg, opt_cfg, tcfg, data_iter,
+                  resume_state=resume_state, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

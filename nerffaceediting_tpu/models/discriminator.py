@@ -137,6 +137,58 @@ def init_dual_discriminator(key, cfg: DiscriminatorConfig) -> Dict:
     return params
 
 
+def single_discriminator(params, img_sr, img_raw, c, cfg: DiscriminatorConfig, *,
+                         rng: Optional[jax.Array] = None,
+                         dtype=jnp.float32) -> jax.Array:
+    """SingleDiscriminator (ref dual_discriminator.py:21-80): ignores the raw
+    render, discriminates the SR image alone. Init with
+    init_dual_discriminator on a config whose img_channels is NOT doubled —
+    use init_single_discriminator."""
+    f = setup_filter([1, 3, 3, 1])
+    resolutions = [2**i for i in range(int(math.log2(cfg.img_resolution)), 2, -1)]
+    x, img = None, img_sr
+    for res in resolutions:
+        x, img = discriminator_block(
+            params[f"b{res}"], x, img, resample_filter=f,
+            conv_clamp=cfg.conv_clamp, dtype=dtype,
+        )
+        img = None
+    cmap = None
+    if "mapping" in params:
+        cmap = mapping_apply(params["mapping"], None, c, num_ws=0, num_layers=8)
+    return discriminator_epilogue(
+        params["b4"], x, cmap, mbstd_group_size=cfg.mbstd_group_size,
+        mbstd_num_channels=cfg.mbstd_num_channels, conv_clamp=cfg.conv_clamp,
+    )
+
+
+def init_single_discriminator(key, cfg: DiscriminatorConfig):
+    """Single-input variant: same trunk, 3-channel fromrgb."""
+    import dataclasses as _dc
+
+    half = _dc.replace(cfg)  # img_channels not doubled
+    params = init_dual_discriminator(key, half)
+    # rebuild the top fromrgb for 3 channels
+    resolutions = [2**i for i in range(int(math.log2(cfg.img_resolution)), 2, -1)]
+    top = resolutions[0]
+    chans = min(cfg.channel_base // top, cfg.channel_max)
+    params[f"b{top}"]["fromrgb"] = init_conv2d_layer(key, cfg.img_channels, chans, 1)
+    return params
+
+
+def dummy_dual_discriminator(params, img_sr, img_raw, c, cfg: DiscriminatorConfig,
+                             raw_fade: float = 1.0, *,
+                             rng: Optional[jax.Array] = None,
+                             dtype=jnp.float32) -> jax.Array:
+    """DummyDualDiscriminator (ref dual_discriminator.py:179-244): dual input
+    whose raw channel fades out over training (raw_fade 1→0), for ablating
+    dual discrimination."""
+    f = setup_filter([1, 3, 3, 1])
+    raw_up = filtered_resizing(img_raw, img_sr.shape[-1], f, "antialiased") * raw_fade
+    return dual_discriminator(params, img_sr, raw_up, c, cfg, filter_mode="none",
+                              rng=rng, dtype=dtype)
+
+
 def dual_discriminator(params, img_sr, img_raw, c, cfg: DiscriminatorConfig, *,
                        filter_mode="antialiased",
                        rng: Optional[jax.Array] = None,

@@ -39,51 +39,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-DEFAULT_BLOCK_P = 256
+DEFAULT_BLOCK_P = 4096  # points DMA'd per grid cell
+DEFAULT_TILE_P = 256    # points per inner MXU tile
 
 
 def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, plane_ref, out_ref, wsum_ref, *,
-                   H: int, W: int, C: int, compute_dtype):
-    """One (plane, point-block) grid cell.
+                   H: int, W: int, C: int, tile_p: int, compute_dtype):
+    """One (plane, point-block) grid cell; inner fori_loop over MXU tiles.
 
-    y0/x0: (1, P) int32 floor indices; wy/wx: (1, P) f32 fractional weights
-    (weight of the +1 tap); plane: (1, H, W·C); out: (1, P, C);
-    wsum: (1, P)."""
+    Large blocks with an inner tile loop amortize the per-invocation cost
+    (~10 µs each — a 2304-cell grid costs ~25 ms in overhead alone).
+
+    y0/x0: (1, 1, P) int32 floor indices; wy/wx: (1, 1, P) f32 fractional
+    weights (weight of the +1 tap); plane: (1, H, C·W); out: (1, P, C);
+    wsum: (1, 1, P)."""
     P = y0_ref.shape[2]
-    y0 = y0_ref[0, 0, :]
-    x0 = x0_ref[0, 0, :]
-    wy1 = wy_ref[0, 0, :]
-    wx1 = wx_ref[0, 0, :]
+    plane = plane_ref[0]  # (H, C·W), already compute_dtype (cast by caller)
 
-    def onehot2(i0, w1, size):
-        # (P, size): (1-w1) at i0, w1 at i0+1; OOB rows vanish (zeros pad).
-        iota = lax.broadcasted_iota(jnp.int32, (P, size), 1)
-        i0 = i0[:, None]
-        w1 = w1[:, None]
-        m0 = (iota == i0).astype(jnp.float32)
-        m1 = (iota == i0 + 1).astype(jnp.float32)
-        return m0 * (1.0 - w1) + m1 * w1
+    def tile(k, _):
+        sl = pl.ds(k * tile_p, tile_p)
+        y0 = y0_ref[0, 0, sl]
+        x0 = x0_ref[0, 0, sl]
+        wy1 = wy_ref[0, 0, sl]
+        wx1 = wx_ref[0, 0, sl]
 
-    ry = onehot2(y0, wy1, H)  # (P, H) f32
-    rx = onehot2(x0, wx1, W)  # (P, W) f32
+        def onehot2(i0, w1, size):
+            # (tile_p, size): (1-w1) at i0, w1 at i0+1; OOB taps match no
+            # iota row and vanish — exactly grid_sample zeros padding.
+            iota = lax.broadcasted_iota(jnp.int32, (tile_p, size), 1)
+            i0 = i0[:, None]
+            w1 = w1[:, None]
+            m0 = (iota == i0).astype(jnp.float32)
+            m1 = (iota == i0 + 1).astype(jnp.float32)
+            return m0 * (1.0 - w1) + m1 * w1
 
-    # In-bounds bilinear weight mass (separable).
-    wsum_ref[0, 0, :] = jnp.sum(ry, axis=1) * jnp.sum(rx, axis=1)
+        ry = onehot2(y0, wy1, H)  # (tile_p, H) f32
+        rx = onehot2(x0, wx1, W)  # (tile_p, W) f32
 
-    # Plane is laid out (H, C·W) so the post-matmul reshape splits the minor
-    # axis into (C, W) with W lane-aligned (Mosaic rejects a (W, C) split
-    # because C=32 < the 128-lane tile).
-    plane = plane_ref[0]  # (H, C·W)
-    t = jnp.dot(ry.astype(compute_dtype), plane.astype(compute_dtype),
-                preferred_element_type=jnp.float32)  # (P, C·W)
-    t = t.reshape(P, C, W)
-    out_ref[0] = jnp.sum(t * rx[:, None, :], axis=2)  # (P, C)
+        # In-bounds bilinear weight mass (separable).
+        wsum_ref[0, 0, sl] = jnp.sum(ry, axis=1) * jnp.sum(rx, axis=1)
+
+        # Plane is laid out (H, C·W) so the post-matmul reshape splits the
+        # minor axis into (C, W) with W lane-aligned (Mosaic rejects a
+        # (W, C) split because C=32 < the 128-lane tile).
+        t = jnp.dot(ry.astype(compute_dtype), plane,
+                    preferred_element_type=jnp.float32)  # (tile_p, C·W)
+        t = t.reshape(tile_p, C, W)
+        out_ref[0, sl, :] = jnp.sum(t * rx[:, None, :], axis=2)  # (tile_p, C)
+        return _
+
+    lax.fori_loop(0, P // tile_p, tile, None)
 
 
-@functools.partial(jax.jit, static_argnames=("block_p", "compute_dtype", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_p", "tile_p", "compute_dtype", "interpret"))
 def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
                     box_warp: float = 1.0,
                     block_p: int = DEFAULT_BLOCK_P,
+                    tile_p: int = DEFAULT_TILE_P,
                     compute_dtype=jnp.bfloat16,
                     interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Bilinearly sample the three EG3D planes at 3-D points.
@@ -103,6 +115,10 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
     N, M, _ = coords.shape
     n_planes = NP // N
     assert n_planes * N == NP
+    tile_p = min(tile_p, block_p)
+    # shrink the block for small point counts, keeping it a tile multiple
+    block_p = min(block_p, max(tile_p, -(-M // tile_p) * tile_p))
+    block_p = (block_p // tile_p) * tile_p
 
     # Plane projections (ref renderer.py:23-53 reduces to shuffles):
     # plane0 (x,y), plane1 (x,z), plane2 (z,x); grid_sample convention maps
@@ -137,7 +153,7 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
     y0p, x0p = pad_pts(y0), pad_pts(x0)
     wyp, wxp = pad_pts(wy), pad_pts(wx)
 
-    kernel = functools.partial(_sample_kernel, H=H, W=W, C=C,
+    kernel = functools.partial(_sample_kernel, H=H, W=W, C=C, tile_p=tile_p,
                                compute_dtype=compute_dtype)
     grid = (NP, n_blocks)
     pt_spec = pl.BlockSpec((1, 1, block_p), lambda i, j: (i, 0, j),
@@ -160,8 +176,15 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
             jax.ShapeDtypeStruct((NP, 1, Mp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # v5e has 128 MiB VMEM; the default 16 MiB scoped limit rejects
+            # the (tile_p, C·W) f32 intermediate + resident plane.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
     )(y0p, x0p, wyp, wxp,
-      planes_hwc.transpose(0, 1, 3, 2).reshape(NP, H, C * W))
+      # cast ONCE here — an in-kernel cast would re-convert the whole plane
+      # on every grid cell (~8 MB × n_blocks of VPU work)
+      planes_hwc.transpose(0, 1, 3, 2).reshape(NP, H, C * W).astype(compute_dtype))
 
     return samples[:, :M], wsum[:, 0, :M]
 

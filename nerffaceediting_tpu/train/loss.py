@@ -167,6 +167,9 @@ class LossConfig:
     hist_type: str = "per_label"
     style_mixing_prob: float = 0.0
     dual_discrimination: bool = True
+    # ADA strength (static per compilation; the host-side AdaController
+    # adjusts it between trace buckets, ref training_loop.py:372-375).
+    ada_p: float = 0.0
 
     def blur_sigma(self, cur_nimg: int) -> float:
         if self.blur_fade_kimg <= 0:
@@ -211,8 +214,22 @@ def _run_g(g_params, z, c, rng, g_cfg: GeneratorConfig, swapping_prob,
 def _run_d(d_params, img: Dict, c, d_cfg: DiscriminatorConfig, cfg: LossConfig,
            blur_sigma: float, rng=None):
     image = gaussian_blur(img["image"], blur_sigma)
+    image_raw = img["image_raw"]
+    if cfg.ada_p > 0:
+        # ADA augments [image, raw lifted to full res] jointly, then returns
+        # raw to render resolution (ref loss.py:228-233).
+        from .augment import augment_pipe
+
+        assert rng is not None
+        rng, rng_aug = jax.random.split(rng)
+        raw_res = image_raw.shape[-1]
+        pair = jnp.concatenate(
+            [image, resize_bilinear(image_raw, image.shape[-1], antialias=True)], axis=1)
+        pair = augment_pipe(rng_aug, pair, cfg.ada_p)
+        image = pair[:, : image.shape[1]]
+        image_raw = resize_bilinear(pair[:, image.shape[1]:], raw_res, antialias=True)
     return dual_discriminator(
-        d_params, image, img["image_raw"], c, d_cfg,
+        d_params, image, image_raw, c, d_cfg,
         filter_mode=cfg.filter_mode, rng=rng,
     )
 
