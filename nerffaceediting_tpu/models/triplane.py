@@ -144,6 +144,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
                   neural_rendering_resolution: Optional[int] = None,
                   noise_mode: str = "const",
                   rng: Optional[jax.Array] = None,
+                  plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Planes + camera → frame dict. This is the editing decode()
     (ref utils.py:165-199) and the second half of synthesis().
@@ -160,6 +161,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
     feats, segs, depths, _ = render_rays(
         _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
         ray_origins, ray_dirs, cfg.rendering, rng=rng_render,
+        plane_stats=plane_stats,
     )
 
     B = feats.shape[0]
@@ -196,24 +198,36 @@ def synthesis(params, ws, c, cfg: GeneratorConfig, *,
 
     if not cfg.disable_disentangle:
         norm, mean, var = normalize_plane(planes)
+        # Denormalization is affine per channel, so only the statistics are
+        # passed down — the renderer rematerializes denormalized SAMPLES
+        # (σ·s + μ·wsum), halving the tri-plane sampling work (SURVEY §7).
         if stats_from_index is not None:
             # Appearance-uniform batch: everyone gets sample i's statistics
             # (ref triplane.py:100-101, histogram loss loss.py:284).
-            denorm = denormalize_plane(norm, mean[stats_from_index][None], var[stats_from_index][None])
+            d_mean = jnp.broadcast_to(mean[stats_from_index][None], mean.shape)
+            d_var = jnp.broadcast_to(var[stats_from_index][None], var.shape)
         elif planes_stats is not None:
-            denorm = denormalize_plane(norm, planes_stats[0], planes_stats[1])
+            d_mean = jnp.broadcast_to(planes_stats[0], mean.shape)
+            d_var = jnp.broadcast_to(planes_stats[1], var.shape)
         else:
-            denorm = planes
+            # default: denorm == the raw planes == norm·(var+eps) + mean
+            # (normalize_plane divides by var+1e-8) — keep it bit-exact
+            d_mean, d_var = mean, var + 1e-8
         norm_planes = split_planes(norm, cfg)
-        denorm_planes = split_planes(denorm, cfg)
+        denorm_planes = None
+        B = planes.shape[0]
+        stats = (d_mean.reshape(B, cfg.num_planes, cfg.plane_channels),
+                 d_var.reshape(B, cfg.num_planes, cfg.plane_channels))
     else:
         mean = var = None
+        stats = None
         norm_planes = denorm_planes = split_planes(planes, cfg)
 
     out = render_planes(
         params, norm_planes, denorm_planes, c, cfg, ws_sr=ws,
         neural_rendering_resolution=neural_rendering_resolution,
-        noise_mode=noise_mode, rng=rng_render, sr_dtype=sr_dtype,
+        noise_mode=noise_mode, rng=rng_render, plane_stats=stats,
+        sr_dtype=sr_dtype,
     )
     out["plane_mean"] = mean
     out["plane_var"] = var
@@ -227,11 +241,14 @@ def sample_points(params, coordinates, ws, cfg: GeneratorConfig, *,
     and density regularization (ref: triplane.py:150-157 sample_mixed)."""
     planes = synthesize_planes(params, ws, cfg, noise_mode=noise_mode, rng=rng)
     if not cfg.disable_disentangle:
-        norm, _, _ = normalize_plane(planes)
+        norm, mean, var = normalize_plane(planes)
         norm_planes = split_planes(norm, cfg)
-    else:
-        norm_planes = split_planes(planes, cfg)
-    denorm_planes = split_planes(planes, cfg)
+        B = planes.shape[0]
+        stats = (mean.reshape(B, cfg.num_planes, cfg.plane_channels),
+                 (var + 1e-8).reshape(B, cfg.num_planes, cfg.plane_channels))
+        return run_model(_decoder_fn(cfg), params["decoder"], norm_planes, None,
+                         coordinates, cfg.rendering, plane_stats=stats)
+    norm_planes = denorm_planes = split_planes(planes, cfg)
     return run_model(_decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
                      coordinates, cfg.rendering)
 

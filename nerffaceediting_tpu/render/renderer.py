@@ -192,10 +192,48 @@ DecoderFn = Callable[..., Dict[str, jax.Array]]
 
 def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
               coordinates, cfg: RenderingConfig,
-              rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+              rng: Optional[jax.Array] = None,
+              plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
+              ) -> Dict[str, jax.Array]:
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
-    norm_planes=None and a decoder_fn taking a single feature tensor."""
+    norm_planes=None and a decoder_fn taking a single feature tensor.
+
+    Fast path: when `plane_stats=(mean, var)` (each (N, 3, C)) is given and
+    denorm = norm·var + mean (true for every real caller — synthesis and
+    decode derive denorm affinely, ref triplane.py:66-68), sample ONLY the
+    normalized planes and rematerialize the denormalized samples as
+    σ·s + μ·wsum — halving the dominant sampling cost (SURVEY §7).
+    """
+    if plane_stats is not None and norm_planes is not None and (
+            jax.default_backend() in ("tpu", "axon")):
+        from ..ops.triplane_kernel import triplane_sample
+
+        N, n_planes, C, H, W = norm_planes.shape
+        M = coordinates.shape[1]
+        hwc = norm_planes.reshape(N * n_planes, C, H, W).transpose(0, 2, 3, 1)
+        samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp)
+        sampled_norm = samples.reshape(N, n_planes, M, C)
+        mean, var = plane_stats  # (N, 3, C)
+        sampled_denorm = (
+            sampled_norm * var[:, :, None, :]
+            + mean[:, :, None, :] * wsum.reshape(N, n_planes, M, 1)
+        )
+        out = decoder_fn(decoder_params, sampled_norm, sampled_denorm)
+        if cfg.density_noise > 0:
+            assert rng is not None
+            out = dict(out)
+            out["sigma"] = out["sigma"] + (
+                jax.random.normal(rng, out["sigma"].shape, out["sigma"].dtype)
+                * cfg.density_noise)
+        return out
+
+    if plane_stats is not None and denorm_planes is None:
+        # CPU fallback: materialize the denormalized planes once.
+        mean, var = plane_stats
+        denorm_planes = (norm_planes * var[:, :, :, None, None]
+                         + mean[:, :, :, None, None])
+
     sampled_denorm = sample_planes(denorm_planes, coordinates, cfg.box_warp)
     if norm_planes is None:
         out = decoder_fn(decoder_params, sampled_denorm)
@@ -230,7 +268,8 @@ def _ray_bounds(ray_origins, ray_directions, cfg: RenderingConfig):
 def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
                 ray_origins, ray_directions, cfg: RenderingConfig,
                 rng: Optional[jax.Array] = None,
-                with_seg: bool = True):
+                with_seg: bool = True,
+                plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None):
     """Full two-pass hierarchical render (ref: renderer.py:301-363 /
     82-140).
 
@@ -250,7 +289,7 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         S_ = depths.shape[2]
         coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
         out = run_model(decoder_fn, decoder_params, norm_planes, denorm_planes,
-                        coords, cfg, rng_eval)
+                        coords, cfg, rng_eval, plane_stats=plane_stats)
         colors = out["rgb"].reshape(B, R, S_, -1)
         densities = out["sigma"].reshape(B, R, S_, 1)
         segs = out.get("seg")
