@@ -3,28 +3,30 @@ framework (SURVEY §7 "hard parts").
 
 Replaces the grid_sample gathers of the render hot path
 (ref renderer.py:55-65 → F.grid_sample): XLA's TPU gather lowering runs the
-4-tap × 3-plane × 32-channel lookup at <1% of HBM bandwidth (~45 ms per
+4-tap × 3-plane × 32-channel lookup at <1% of HBM bandwidth (~28 ms per
 196k-point pass, measured). This kernel reformulates bilinear sampling as a
-**double one-hot contraction on the MXU**:
+**double one-hot contraction**, transposed so every intermediate keeps a
+lane-aligned minor axis:
 
-    sample[p, c] = Σ_y Σ_x  Ry[p, y] · Rx[p, x] · plane[y, x, c]
+    t[(c,x), p] = Σ_y planeᵀ[(c,x), y] · RyT[y, p]     (MXU matmul)
+    out[c, p]   = Σ_x t[(c,x), p] · RxT[x, p]          (VPU reduce)
 
-with Ry/Rx the 2-tap bilinear row/column weight matrices (built in-kernel by
-iota comparison — never materialized in HBM). Per point-block:
+RyT/RxT are the 2-tap bilinear one-hot matrices, built in-kernel by iota
+comparison (never materialized in HBM). Design notes from measurement:
 
-    T   = Ry @ plane.reshape(H, W·C)      # MXU, (P, W·C), lives in VMEM
-    out = Σ_x Rx[p, x] · T[p, x, :]       # VPU reduction
-
-The plane stays VMEM-resident across all point blocks (grid iterates points
-fastest), so HBM traffic is one plane read + the sampled outputs — the
-intermediate T (the killer in an XLA einsum formulation: ~6 GB in HBM) never
-leaves VMEM.
+* transposed layout: the (C·W, P) → (C, W, P) view splits the SUBLANE dim
+  (layout-preserving); the straight (P, C·W) → (P, C, W) split retiles the
+  lane dim and costs a full VMEM relayout (~2× slower end to end);
+* the plane is pre-cast to the compute dtype OUTSIDE the kernel (an
+  in-kernel cast reconverts 8 MB per grid cell);
+* large point blocks with an inner tile loop amortize per-invocation cost;
+* the plane block index is constant across point blocks, so it stays
+  VMEM-resident for the whole sweep.
 
 Out-of-bounds handling matches grid_sample(padding='zeros',
-align_corners=False): taps outside the plane match no iota row and
-contribute exactly 0. The in-bounds bilinear weight-sum (needed to
-rematerialize denormalized samples as σ·s + μ·wsum, see
-models/triplane.py) is the separable product rowsum(Ry)·rowsum(Rx) — free.
+align_corners=False): OOB taps match no iota row and contribute exactly 0.
+The in-bounds bilinear weight mass (for the σ/μ denormalization remat, see
+models/triplane.py) is the separable product of per-axis tap masses.
 """
 
 from __future__ import annotations
@@ -47,14 +49,11 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, plane_ref, out_ref, wsum_ref,
                    H: int, W: int, C: int, tile_p: int, compute_dtype):
     """One (plane, point-block) grid cell; inner fori_loop over MXU tiles.
 
-    Large blocks with an inner tile loop amortize the per-invocation cost
-    (~10 µs each — a 2304-cell grid costs ~25 ms in overhead alone).
-
     y0/x0: (1, 1, P) int32 floor indices; wy/wx: (1, 1, P) f32 fractional
-    weights (weight of the +1 tap); plane: (1, H, C·W); out: (1, P, C);
-    wsum: (1, 1, P)."""
+    weights (weight of the +1 tap); plane: (1, C·W, H) [transposed, row
+    (c·W+x), col y]; out: (1, C, P); wsum: (1, 1, P)."""
     P = y0_ref.shape[2]
-    plane = plane_ref[0]  # (H, C·W), already compute_dtype (cast by caller)
+    plane = plane_ref[0]  # (C·W, H), already compute_dtype
 
     def tile(k, _):
         sl = pl.ds(k * tile_p, tile_p)
@@ -63,29 +62,27 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, plane_ref, out_ref, wsum_ref,
         wy1 = wy_ref[0, 0, sl]
         wx1 = wx_ref[0, 0, sl]
 
-        def onehot2(i0, w1, size):
-            # (tile_p, size): (1-w1) at i0, w1 at i0+1; OOB taps match no
-            # iota row and vanish — exactly grid_sample zeros padding.
-            iota = lax.broadcasted_iota(jnp.int32, (tile_p, size), 1)
-            i0 = i0[:, None]
-            w1 = w1[:, None]
-            m0 = (iota == i0).astype(jnp.float32)
-            m1 = (iota == i0 + 1).astype(jnp.float32)
-            return m0 * (1.0 - w1) + m1 * w1
+        def onehot2_t(i0, w1, size, dt):
+            # transposed 2-tap one-hot (size, tile_p): (1-w1) at row i0, w1
+            # at row i0+1; OOB taps match no row — grid_sample zeros padding.
+            iota = lax.broadcasted_iota(jnp.int32, (size, tile_p), 0)
+            m0 = (iota == i0[None, :]).astype(dt)
+            m1 = (iota == i0[None, :] + 1).astype(dt)
+            return m0 * (1.0 - w1[None, :]).astype(dt) + m1 * w1[None, :].astype(dt)
 
-        ry = onehot2(y0, wy1, H)  # (tile_p, H) f32
-        rx = onehot2(x0, wx1, W)  # (tile_p, W) f32
+        ry_t = onehot2_t(y0, wy1, H, compute_dtype)   # (H, tile_p)
+        rx_t = onehot2_t(x0, wx1, W, jnp.float32)     # (W, tile_p)
 
-        # In-bounds bilinear weight mass (separable).
-        wsum_ref[0, 0, sl] = jnp.sum(ry, axis=1) * jnp.sum(rx, axis=1)
+        # In-bounds bilinear weight mass (separable per axis).
+        ry_mass = ((1.0 - wy1) * ((y0 >= 0) & (y0 < H))
+                   + wy1 * ((y0 + 1 >= 0) & (y0 + 1 < H)))
+        rx_mass = ((1.0 - wx1) * ((x0 >= 0) & (x0 < W))
+                   + wx1 * ((x0 + 1 >= 0) & (x0 + 1 < W)))
+        wsum_ref[0, 0, sl] = ry_mass * rx_mass
 
-        # Plane is laid out (H, C·W) so the post-matmul reshape splits the
-        # minor axis into (C, W) with W lane-aligned (Mosaic rejects a
-        # (W, C) split because C=32 < the 128-lane tile).
-        t = jnp.dot(ry.astype(compute_dtype), plane,
-                    preferred_element_type=jnp.float32)  # (tile_p, C·W)
-        t = t.reshape(tile_p, C, W)
-        out_ref[0, sl, :] = jnp.sum(t * rx[:, None, :], axis=2)  # (tile_p, C)
+        t = jnp.dot(plane, ry_t, preferred_element_type=jnp.float32)  # (C·W, tile_p)
+        t3 = t.reshape(C, W, tile_p)  # sublane-dim split: layout-preserving
+        out_ref[0, :, sl] = jnp.sum(t3 * rx_t[None], axis=1)  # (C, tile_p)
         return _
 
     lax.fori_loop(0, P // tile_p, tile, None)
@@ -116,7 +113,6 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
     n_planes = NP // N
     assert n_planes * N == NP
     tile_p = min(tile_p, block_p)
-    # shrink the block for small point counts, keeping it a tile multiple
     block_p = min(block_p, max(tile_p, -(-M // tile_p) * tile_p))
     block_p = (block_p // tile_p) * tile_p
 
@@ -146,7 +142,7 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
     pad = Mp - M
 
     def pad_pts(a):
-        # (NP, 1, Mp) layout: keeps Pallas block tiling legal (the minor two
+        # (NP, 1, Mp) layout keeps Pallas block tiling legal (the minor two
         # dims of each block are (1, block_p)).
         return jnp.pad(a, ((0, 0), (0, pad)), constant_values=-2)[:, None, :]
 
@@ -158,35 +154,36 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
     grid = (NP, n_blocks)
     pt_spec = pl.BlockSpec((1, 1, block_p), lambda i, j: (i, 0, j),
                            memory_space=pltpu.VMEM)
-    samples, wsum = pl.pallas_call(
+    samples_t, wsum = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pt_spec, pt_spec, pt_spec, pt_spec,
-            pl.BlockSpec((1, H, C * W), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, C * W, H), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_p, C), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, C, block_p), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pt_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NP, Mp, C), jnp.float32),
+            jax.ShapeDtypeStruct((NP, C, Mp), jnp.float32),
             jax.ShapeDtypeStruct((NP, 1, Mp), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # v5e has 128 MiB VMEM; the default 16 MiB scoped limit rejects
-            # the (tile_p, C·W) f32 intermediate + resident plane.
+            # the (C·W, tile_p) f32 intermediate + resident plane.
             vmem_limit_bytes=100 * 1024 * 1024,
         ) if not interpret else None,
     )(y0p, x0p, wyp, wxp,
-      # cast ONCE here — an in-kernel cast would re-convert the whole plane
-      # on every grid cell (~8 MB × n_blocks of VPU work)
-      planes_hwc.transpose(0, 1, 3, 2).reshape(NP, H, C * W).astype(compute_dtype))
+      # plane → transposed (C·W, H) layout, cast ONCE here (an in-kernel
+      # cast would reconvert the whole plane on every grid cell)
+      planes_hwc.transpose(0, 3, 2, 1).reshape(NP, C * W, H).astype(compute_dtype))
 
-    return samples[:, :M], wsum[:, 0, :M]
+    # (NP, C, Mp) → (NP, M, C)
+    return samples_t[:, :, :M].transpose(0, 2, 1), wsum[:, 0, :M]
 
 
 def sample_from_planes_fused(plane_features: jax.Array, coordinates: jax.Array,
