@@ -137,7 +137,14 @@ def sample_pdf(rng: Optional[jax.Array], bins: jax.Array, weights: jax.Array,
     if rng is None:
         u = jnp.tile(jnp.linspace(0.0, 1.0, n_importance, dtype=jnp.float32)[None], (N, 1))
     else:
-        u = jax.random.uniform(rng, (N, n_importance), jnp.float32)
+        # SORTED uniforms via exponential spacings (order statistics of
+        # U(0,1) — distributionally identical to the reference's unsorted
+        # draw, renderer.py:237). CDF inversion is monotone, so the fine
+        # depths come out sorted per ray, which lets unify_samples merge two
+        # sorted lists with a rank computation instead of a full sort.
+        e = -jnp.log(1.0 - jax.random.uniform(rng, (N, n_importance + 1), jnp.float32))
+        s = jnp.cumsum(e, axis=-1)
+        u = s[:, :-1] / s[:, -1:]
 
     # searchsorted(right) as a comparison count — static S keeps this one
     # fused VPU reduction instead of a gather-heavy binary search.
@@ -169,19 +176,60 @@ def sample_importance(rng: Optional[jax.Array], z_vals: jax.Array, weights: jax.
     return samples.reshape(B, R, n_importance, 1)
 
 
-def unify_samples(depths1, depths2, *value_pairs):
-    """Concatenate coarse+fine along the samples axis and sort by depth.
-    value_pairs are (coarse, fine) tuples sharing the (B,R,S,C) layout.
-    Returns (sorted_depths, *sorted_values) (ref: renderer.py:288-300)."""
-    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
-    order = jnp.argsort(all_depths, axis=-2)
-    sorted_depths = jnp.take_along_axis(all_depths, order, axis=-2)
+def unify_samples(depths1, depths2, *value_pairs, assume_sorted: bool = True):
+    """Depth-merge coarse+fine samples with their payloads
+    (ref: renderer.py:288-300, there an argsort + 4 gathers).
+
+    TPU path (assume_sorted): both inputs are per-ray sorted (stratified
+    depths are monotone by construction; importance depths since sample_pdf
+    draws sorted uniforms), so the merged position of every element is its
+    own index plus a cross-list comparison count — and the permutation
+    applies as ONE one-hot matmul over the concatenated payloads, replacing
+    the sort + gathers that otherwise dominate the render (measured ~30 ms
+    per frame as XLA sort/gather, ~2 ms as an MXU contraction).
+    """
+    if not assume_sorted:
+        all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+        order = jnp.argsort(all_depths, axis=-2)
+        sorted_depths = jnp.take_along_axis(all_depths, order, axis=-2)
+        outs = []
+        for v1, v2 in value_pairs:
+            v = jnp.concatenate([v1, v2], axis=-2)
+            outs.append(jnp.take_along_axis(v, order, axis=-2))
+        return (sorted_depths, *outs)
+
+    d1 = depths1[..., 0]  # (B, R, S1)
+    d2 = depths2[..., 0]  # (B, R, S2)
+    S1 = d1.shape[-1]
+    S2 = d2.shape[-1]
+    S = S1 + S2
+    # merged rank of every element: own index + count of strictly-smaller
+    # (resp. ≤) elements in the other list — ties put list-1 first.
+    less = d2[..., None, :] < d1[..., :, None]          # (B, R, S1, S2)
+    rank1 = jnp.arange(S1) + jnp.sum(less, axis=-1)      # (B, R, S1)
+    leq = d1[..., None, :] <= d2[..., :, None]           # (B, R, S2, S1)
+    rank2 = jnp.arange(S2) + jnp.sum(leq, axis=-1)       # (B, R, S2)
+    ranks = jnp.concatenate([rank1, rank2], axis=-1)     # (B, R, S)
+
+    # permutation one-hot: P[out, in] = (out == ranks[in])
+    out_pos = jnp.arange(S)
+    P = (out_pos[:, None] == ranks[..., None, :]).astype(jnp.float32)  # (B,R,S,S)
+
+    values = [jnp.concatenate([depths1, depths2], axis=-2)]
+    values += [jnp.concatenate([v1, v2], axis=-2) for v1, v2 in value_pairs]
+    widths = [v.shape[-1] for v in values]
+    packed = jnp.concatenate(values, axis=-1)            # (B, R, S, ΣC)
+    # HIGHEST keeps f32 depths exact through the MXU (deltas between
+    # adjacent samples are ~1e-2 — bf16 passes would destroy them).
+    merged = jnp.einsum("brij,brjc->bric", P, packed,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     outs = []
-    for v1, v2 in value_pairs:
-        v = jnp.concatenate([v1, v2], axis=-2)
-        # order has trailing dim 1; take_along_axis broadcasts it over C.
-        outs.append(jnp.take_along_axis(v, order, axis=-2))
-    return (sorted_depths, *outs)
+    off = 0
+    for w in widths:
+        outs.append(merged[..., off:off + w])
+        off += w
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
