@@ -24,6 +24,15 @@ V100_BASELINE_FPS = 25.0
 
 
 def main():
+    from jax import lax
+
+    from nerffaceediting_tpu.ops import precision as prec
+
+    # Serving precision: one bf16 MXU pass for convs/matmuls (the Pallas
+    # render kernel manages its own precision; depth-critical contractions
+    # pin HIGHEST locally). Parity tests run at HIGHEST.
+    prec.set_precision(lax.Precision.DEFAULT)
+
     from nerffaceediting_tpu.config import ffhq_generator_config
     from nerffaceediting_tpu.models import triplane
     from nerffaceediting_tpu.editing.api import decode, encode, swap_appearance
