@@ -35,7 +35,8 @@ def main():
 
     from nerffaceediting_tpu.config import ffhq_generator_config
     from nerffaceediting_tpu.models import triplane
-    from nerffaceediting_tpu.editing.api import decode, encode, swap_appearance
+    from nerffaceediting_tpu.editing.api import (
+        decode, encode, swap_appearance_stats)
     from nerffaceediting_tpu.render.cameras import (
         camera_params, fov_to_intrinsics, lookat_pose)
 
@@ -73,10 +74,11 @@ def main():
 
     @jax.jit
     def edited_orbit(params, planes_src, planes_sty, ws, cams):
-        norm, denorm = swap_appearance(planes_src, planes_sty)
+        norm, stats = swap_appearance_stats(planes_src, planes_sty)
 
         def frame(carry, cam):
-            out = decode(params, ws, cam[None], norm, denorm, cfg)
+            out = decode(params, ws, cam[None], norm, None, cfg,
+                         plane_stats=stats)
             # scalar checksum forces execution; frames would stream to the
             # encoder in production
             return carry + jnp.sum(out["image"]), None

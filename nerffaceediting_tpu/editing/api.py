@@ -50,6 +50,18 @@ def swap_appearance(planes_src: jax.Array, planes_style: jax.Array):
     return norm_src, denormalize_plane(norm_src, mean_sty, var_sty)
 
 
+def swap_appearance_stats(planes_src: jax.Array, planes_style: jax.Array):
+    """Like swap_appearance, but returns (norm_planes, (mean, var)) with the
+    stats shaped (B, 3, C) for the renderer's σ/μ-rematerialization fast path
+    (sample ONLY the normalized planes — half the tri-plane sampling work).
+    Pass to decode as plane_stats with denorm_planes=None."""
+    B, n_planes, C = planes_src.shape[:3]
+    norm_src, _, _ = normalize_plane(planes_src)
+    _, mean_sty, var_sty = normalize_plane(planes_style)
+    stats = (mean_sty.reshape(B, n_planes, C), var_sty.reshape(B, n_planes, C))
+    return norm_src, stats
+
+
 def get_camera_samples(cfg: GeneratorConfig, fov_deg: float = 18.837):
     """3×3 pitch/yaw grid of 25-float camera labels (ref: utils.py:130-144)."""
     import numpy as np
