@@ -298,13 +298,31 @@ def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
     return loss, stats
 
 
+def style_mixing(rng, g_params, ws, z_like, c, g_cfg: GeneratorConfig,
+                 prob: float) -> jax.Array:
+    """Style-mixing regularization (ref loss.py:316-320 /
+    networks_stylegan2-era trick): with probability `prob`, replace ws beyond
+    a random cutoff with an independent latent's ws."""
+    if prob <= 0:
+        return ws
+    rng_z, rng_cut, rng_coin = jax.random.split(rng, 3)
+    z2 = jax.random.normal(rng_z, z_like.shape)
+    ws2 = triplane.mapping(g_params, z2, c, g_cfg)
+    num_ws = ws.shape[1]
+    cutoff = jax.random.randint(rng_cut, (), 1, num_ws)
+    cutoff = jnp.where(jax.random.uniform(rng_coin) < prob, cutoff, num_ws)
+    idx = jnp.arange(num_ws)[None, :, None]
+    return jnp.where(idx < cutoff, ws, ws2)
+
+
 def density_regularization(g_params, z, c, rng, g_cfg: GeneratorConfig,
                            cfg: LossConfig, cur_nimg: int) -> jax.Array:
     """Density TV/monotonicity regularizers (ref loss.py:310-419)."""
     reg_type = g_cfg.rendering.reg_type
-    rng_swap, rng_pts, rng_noise = jax.random.split(rng, 3)
+    rng_swap, rng_pts, rng_noise, rng_mix = jax.random.split(rng, 4)
     c_cond = swap_conditioning(rng_swap, c, cfg.swapping_prob(cur_nimg))
     ws = triplane.mapping(g_params, z, c_cond, g_cfg)
+    ws = style_mixing(rng_mix, g_params, ws, z, c, g_cfg, cfg.style_mixing_prob)
     B = ws.shape[0]
 
     def sigma_pair(n_pts, perturb):
