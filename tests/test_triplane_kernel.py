@@ -76,3 +76,46 @@ class TestTriplaneKernel:
                                        interpret=True, compute_dtype=jnp.float32,
                                        block_p=128)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestKernelGradients:
+    def test_plane_gradient_matches_golden(self):
+        """d(loss)/d(planes) through the custom-VJP kernel must match the
+        gather-based golden path (coordinate grads are zero by design, so
+        compare plane grads only)."""
+        rng = np.random.default_rng(7)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 8, 16, 16)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 200, 3)).astype(np.float32))
+        g_out = jnp.asarray(rng.normal(size=(1, 3, 200, 8)).astype(np.float32))
+
+        def loss_fused(p):
+            out = sample_from_planes_fused(p, coords, box_warp=1.0,
+                                           interpret=True,
+                                           compute_dtype=jnp.float32)
+            return jnp.sum(out * g_out)
+
+        def loss_golden(p):
+            return jnp.sum(sample_from_planes(p, coords, box_warp=1.0) * g_out)
+
+        g_fused = jax.grad(loss_fused)(planes)
+        g_gold = jax.grad(loss_golden)(planes)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_gold),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_wsum_gradient_path_is_finite(self):
+        """The denorm-remat consumes wsum; grads through that path must be
+        finite (wsum itself has zero plane grad)."""
+        rng = np.random.default_rng(8)
+        hwc = jnp.asarray(rng.normal(size=(3, 16, 16, 8)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 64, 3)).astype(np.float32))
+        mu = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+        def loss(h):
+            s, wsum = triplane_sample(h, coords, interpret=True,
+                                      compute_dtype=jnp.float32)
+            denorm = s * 2.0 + mu[None, None] * wsum[..., None]
+            return jnp.sum(jnp.square(denorm))
+
+        g = jax.grad(loss)(hwc)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).max() > 0
