@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="orbax checkpoint to resume")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ threaded data loader (zip datasets)")
+    p.add_argument("--loader-threads", type=int, default=4)
     return p
 
 
@@ -149,11 +152,25 @@ def main(argv=None):
         print("dry run OK")
         return
 
-    from ..train.dataset import ImageFolderDataset, data_iterator
     from ..train.loop import TrainingConfig, training_loop
 
-    dataset = ImageFolderDataset(args.data, resolution=g_cfg.img_resolution)
-    data_iter = data_iterator(dataset, args.batch, seed=args.seed)
+    data_iter = None
+    if args.native_loader:
+        from ..native import NativeDataLoader, NativeLoaderUnavailable
+
+        try:
+            data_iter = iter(NativeDataLoader(
+                args.data, resolution=g_cfg.img_resolution,
+                batch_size=args.batch, num_threads=args.loader_threads,
+                seed=args.seed))
+            print("using native C++ data loader")
+        except NativeLoaderUnavailable as e:
+            print(f"native loader unavailable ({e}); falling back to Python")
+    if data_iter is None:
+        from ..train.dataset import ImageFolderDataset, data_iterator
+
+        dataset = ImageFolderDataset(args.data, resolution=g_cfg.img_resolution)
+        data_iter = data_iterator(dataset, args.batch, seed=args.seed)
 
     tcfg = TrainingConfig(
         run_dir=run_dir, total_kimg=args.kimg, kimg_per_tick=args.tick,
@@ -162,10 +179,9 @@ def main(argv=None):
     )
     resume_state = None
     if args.resume:
-        from ..io.checkpoint import load_checkpoint
-        from ..train.step import TrainState
+        from ..train.loop import restore_snapshot
 
-        resume_state = TrainState(**load_checkpoint(args.resume))
+        resume_state = restore_snapshot(args.resume, g_cfg, d_cfg, opt_cfg)
     training_loop(g_cfg, d_cfg, loss_cfg, opt_cfg, tcfg, data_iter,
                   resume_state=resume_state, max_steps=args.max_steps)
 

@@ -62,6 +62,47 @@ def swap_appearance_stats(planes_src: jax.Array, planes_style: jax.Array):
     return norm_src, stats
 
 
+def render_video(params, ws, norm_planes, cfg: GeneratorConfig,
+                 plane_stats: Tuple[jax.Array, jax.Array],
+                 out_path: str, num_frames: int = 120, fps: int = 60,
+                 yaw_amp: float = 0.35, pitch_amp: float = 0.25,
+                 fov_deg: float = 18.837) -> None:
+    """Orbit video from edited planes (ref utils.py:32-88 render_video):
+    the whole trajectory renders as ONE fused device program
+    (lax.scan over cameras), then streams to mp4/npz on the host."""
+    import numpy as np
+
+    from ..apps.gen_samples import to_uint8_image
+    from ..apps.gen_videos import _write_video
+
+    pivot = cfg.rendering.avg_camera_pivot
+    radius = cfg.rendering.avg_camera_radius
+    intr = fov_to_intrinsics(fov_deg)
+    cams = jnp.concatenate([
+        camera_params(
+            lookat_pose(
+                np.pi / 2 + yaw_amp * np.sin(2 * np.pi * i / num_frames),
+                np.pi / 2 - 0.05 + pitch_amp * np.cos(2 * np.pi * i / num_frames),
+                pivot, radius=radius),
+            intr)
+        for i in range(num_frames)
+    ])
+
+    @jax.jit
+    def orbit(params, ws, norm_planes, stats, cams):
+        def frame(_, cam):
+            out = decode(params, ws, cam[None], norm_planes, None, cfg,
+                         plane_stats=stats)
+            return None, out["image"][0]
+
+        _, frames = jax.lax.scan(frame, None, cams)
+        return frames
+
+    frames = orbit(params, ws, norm_planes, plane_stats, cams)
+    arrs = [to_uint8_image(frames[i : i + 1])[0] for i in range(num_frames)]
+    _write_video(out_path, arrs, fps)
+
+
 def get_camera_samples(cfg: GeneratorConfig, fov_deg: float = 18.837):
     """3×3 pitch/yaw grid of 25-float camera labels (ref: utils.py:130-144)."""
     import numpy as np

@@ -150,3 +150,19 @@ def save_snapshot(run_dir: str, state: TrainState, cur_nimg: int) -> None:
     path = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
     save_checkpoint(path, state._asdict())
     print(f"saved snapshot {path}")
+
+
+def restore_snapshot(path: str, g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
+                     opt_cfg: OptimizerConfig) -> TrainState:
+    """Restore a snapshot into a correctly-structured TrainState (orbax needs
+    a structure template to rebuild optax NamedTuple states — the resume
+    counterpart of ref train.py:372-378)."""
+    from ..io.checkpoint import load_checkpoint
+
+    template = init_train_state(
+        triplane.init_generator(jax.random.key(0), g_cfg),
+        init_dual_discriminator(jax.random.key(1), d_cfg),
+        opt_cfg,
+    )
+    restored = load_checkpoint(path, target=template._asdict())
+    return TrainState(**restored)
