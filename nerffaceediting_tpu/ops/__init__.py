@@ -23,3 +23,10 @@ __all__ = [
     "modulated_conv2d",
     "conv2d_resample",
 ]
+
+
+def fma(a, b, c):
+    """Fused multiply-add a*b + c (ref torch_utils/ops/fma.py:17 — a custom
+    autograd op there to fuse the demodulation-plus-noise step; XLA fuses
+    this natively, the function exists for API parity)."""
+    return a * b + c

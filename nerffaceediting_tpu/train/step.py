@@ -1,15 +1,20 @@
-"""Optimization step: phase machinery, lazy regularization, EMA.
+"""Optimization steps: phase machinery, lazy regularization, EMA.
 
 Rebuild of the reference's phase loop (ref training/training_loop.py:250-365):
-Gmain / Greg@4 / Dmain / Dreg@16 with lazy-regularization lr/β scaling
-(mb_ratio = r/(r+1), training_loop.py:255-259), gradient NaN scrubbing
-(training_loop.py:344), and G_ema lerp with ramped β
+Gmain / Greg@4 / Dmain / Dreg@16, each phase backpropagating and stepping its
+module's Adam SEPARATELY with lazy-regularization lr/β scaling
+(mb_ratio = r/(r+1), training_loop.py:255-262), gradient NaN scrubbing
+(training_loop.py:344), and a per-iteration G_ema lerp with ramped β
 (training_loop.py:355-365).
 
-One jitted function per phase combination (the static flags pick at most 4
-compiled variants). Data parallelism is implicit: with params replicated and
-batches sharded over the mesh's `data` axis, XLA emits the psum that replaces
-the reference's flat-tensor all_reduce.
+Each phase is its own jitted program (one compiled variant per schedule
+bucket) — matching the reference's per-phase optimizer semantics and keeping
+single-program size within the compiler's comfort zone (the fused
+R1-at-512² + histogram-reg megaprogram is avoidable complexity).
+
+Data parallelism is implicit: with params replicated and batches sharded
+over the mesh's `data` axis, XLA emits the psum that replaces the
+reference's flat-tensor all_reduce.
 """
 
 from __future__ import annotations
@@ -91,9 +96,88 @@ def ema_beta(batch_size: int, cur_nimg, ema_kimg: float, ema_rampup: Optional[fl
     return jnp.asarray(0.5, jnp.float32) ** (batch_size / jnp.maximum(ema_nimg, 1e-8))
 
 
-@partial(jax.jit, static_argnames=(
-    "g_cfg", "d_cfg", "loss_cfg", "opt_cfg", "do_greg", "do_dreg",
-    "batch_size", "ema_kimg", "ema_rampup", "cur_nimg_static", "has_parser"))
+_STATIC = ("g_cfg", "d_cfg", "loss_cfg", "opt_cfg", "cur_nimg_static")
+
+
+def _g_apply(state: TrainState, grads, opt_cfg) -> TrainState:
+    g_opt, _ = make_optimizers(opt_cfg)
+    updates, g_opt_state = g_opt.update(_scrub(grads), state.g_opt_state, state.g_params)
+    return state._replace(g_params=optax.apply_updates(state.g_params, updates),
+                          g_opt_state=g_opt_state)
+
+
+def _d_apply(state: TrainState, grads, opt_cfg) -> TrainState:
+    _, d_opt = make_optimizers(opt_cfg)
+    updates, d_opt_state = d_opt.update(_scrub(grads), state.d_opt_state, state.d_params)
+    return state._replace(d_params=optax.apply_updates(state.d_params, updates),
+                          d_opt_state=d_opt_state)
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("has_parser",))
+def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
+               opt_cfg, cur_nimg_static: int = 0, has_parser: bool = False,
+               face_parser_params=None) -> Tuple[TrainState, Dict]:
+    face_parser = None
+    if has_parser:
+        from ..models.bisenet import bisenet_apply
+        face_parser = lambda img: bisenet_apply(face_parser_params, img)
+
+    def loss_fn(g_params):
+        return loss_mod.g_main_loss(
+            g_params, state.d_params, z, gen_c, rng, g_cfg=g_cfg, d_cfg=d_cfg,
+            cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser)
+
+    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g_params)
+    return _g_apply(state, grads, opt_cfg), stats
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
+              opt_cfg, cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
+    def loss_fn(g_params):
+        return loss_mod.g_reg_loss(
+            g_params, state.d_params, z, gen_c, rng, g_cfg=g_cfg, d_cfg=d_cfg,
+            cfg=loss_cfg, cur_nimg=cur_nimg_static)
+
+    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g_params)
+    return _g_apply(state, grads, opt_cfg), stats
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
+               d_cfg, loss_cfg, opt_cfg,
+               cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
+    def loss_fn(d_params):
+        return loss_mod.d_main_loss(
+            d_params, state.g_params, z, gen_c, real_img, real_c, rng,
+            g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
+
+    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+    return _d_apply(state, grads, opt_cfg), stats
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("has_parser",))
+def dreg_step(state: TrainState, real_img, real_c, rng, *, d_cfg, loss_cfg,
+              opt_cfg, cur_nimg_static: int = 0,
+              g_cfg=None, has_parser=False) -> Tuple[TrainState, Dict]:
+    def loss_fn(d_params):
+        return loss_mod.d_reg_loss(
+            d_params, real_img, real_c, rng, d_cfg=d_cfg, cfg=loss_cfg,
+            cur_nimg=cur_nimg_static)
+
+    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+    return _d_apply(state, grads, opt_cfg), stats
+
+
+@partial(jax.jit, static_argnames=("batch_size", "ema_kimg", "ema_rampup"))
+def ema_step(state: TrainState, *, batch_size: int, ema_kimg: float = 10.0,
+             ema_rampup: Optional[float] = 0.05) -> TrainState:
+    """G_ema lerp + nimg advance (ref training_loop.py:355-365)."""
+    beta = ema_beta(batch_size, state.cur_nimg, ema_kimg, ema_rampup)
+    g_ema = jax.tree.map(lambda e, p: p + (e - p) * beta, state.g_ema, state.g_params)
+    return state._replace(g_ema=g_ema, cur_nimg=state.cur_nimg + batch_size)
+
+
 def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
                g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
                loss_cfg: LossConfig, opt_cfg: OptimizerConfig,
@@ -102,73 +186,31 @@ def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
                cur_nimg_static: int = 0, has_parser: bool = False,
                face_parser_params=None,
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    """One full optimization iteration: Gmain [+Greg], Dmain [+Dreg], EMA.
-
-    cur_nimg_static bakes the blur/resolution schedules into the trace (they
-    change every ~100s of kimg; recompilation at schedule boundaries is the
-    TPU-correct tradeoff vs dynamic shapes).
-    """
-    g_opt, d_opt = make_optimizers(opt_cfg)
+    """One full optimization iteration = the due phases in the reference's
+    order (Gmain, Greg, Dmain, Dreg — training_loop.py:250-262), each its own
+    jitted program with its own optimizer step, then the EMA lerp."""
     rngs = jax.random.split(rng, 4)
     stats: Dict[str, jax.Array] = {}
 
-    face_parser = None
-    if has_parser:
-        from ..models.bisenet import bisenet_apply
-        face_parser = lambda img: bisenet_apply(face_parser_params, img)
-
-    # ---- Gmain (+ gain handled by lazy-reg lr scaling; ref applies phase
-    # gain via loss scaling — identical for Adam up to the lazy-lr factor).
-    def gmain(g_params):
-        return loss_mod.g_main_loss(
-            g_params, state.d_params, z, gen_c, rngs[0], g_cfg=g_cfg, d_cfg=d_cfg,
-            cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser)
-
-    (_, g_stats), g_grads = jax.value_and_grad(gmain, has_aux=True)(state.g_params)
-    stats.update(g_stats)
-
+    state, s = gmain_step(state, z, gen_c, rngs[0], g_cfg=g_cfg, d_cfg=d_cfg,
+                          loss_cfg=loss_cfg, opt_cfg=opt_cfg,
+                          cur_nimg_static=cur_nimg_static, has_parser=has_parser,
+                          face_parser_params=face_parser_params)
+    stats.update(s)
     if do_greg:
-        def greg(g_params):
-            return loss_mod.g_reg_loss(
-                g_params, state.d_params, z, gen_c, rngs[1], g_cfg=g_cfg,
-                d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
-
-        (_, reg_stats), reg_grads = jax.value_and_grad(greg, has_aux=True)(state.g_params)
-        stats.update(reg_stats)
-        g_grads = jax.tree.map(jnp.add, g_grads, reg_grads)
-
-    g_updates, g_opt_state = g_opt.update(_scrub(g_grads), state.g_opt_state, state.g_params)
-    g_params = optax.apply_updates(state.g_params, g_updates)
-
-    # ---- Dmain (+ R1)
-    def dmain(d_params):
-        return loss_mod.d_main_loss(
-            d_params, g_params, z, gen_c, real_img, real_c, rngs[2], g_cfg=g_cfg,
-            d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
-
-    (_, d_stats), d_grads = jax.value_and_grad(dmain, has_aux=True)(state.d_params)
-    stats.update(d_stats)
-
+        state, s = greg_step(state, z, gen_c, rngs[1], g_cfg=g_cfg, d_cfg=d_cfg,
+                             loss_cfg=loss_cfg, opt_cfg=opt_cfg,
+                             cur_nimg_static=cur_nimg_static)
+        stats.update(s)
+    state, s = dmain_step(state, real_img, real_c, z, gen_c, rngs[2],
+                          g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg,
+                          opt_cfg=opt_cfg, cur_nimg_static=cur_nimg_static)
+    stats.update(s)
     if do_dreg:
-        def dreg(d_params):
-            return loss_mod.d_reg_loss(
-                d_params, real_img, real_c, rngs[3], d_cfg=d_cfg, cfg=loss_cfg,
-                cur_nimg=cur_nimg_static)
-
-        (_, r1_stats), r1_grads = jax.value_and_grad(dreg, has_aux=True)(state.d_params)
-        stats.update(r1_stats)
-        d_grads = jax.tree.map(jnp.add, d_grads, r1_grads)
-
-    d_updates, d_opt_state = d_opt.update(_scrub(d_grads), state.d_opt_state, state.d_params)
-    d_params = optax.apply_updates(state.d_params, d_updates)
-
-    # ---- G_ema lerp (ref training_loop.py:361-365)
-    beta = ema_beta(batch_size, state.cur_nimg, ema_kimg, ema_rampup)
-    g_ema = jax.tree.map(lambda e, p: p + (e - p) * beta, state.g_ema, g_params)
-
-    new_state = TrainState(
-        g_params=g_params, d_params=d_params, g_ema=g_ema,
-        g_opt_state=g_opt_state, d_opt_state=d_opt_state,
-        cur_nimg=state.cur_nimg + batch_size,
-    )
-    return new_state, stats
+        state, s = dreg_step(state, real_img, real_c, rngs[3], d_cfg=d_cfg,
+                             loss_cfg=loss_cfg, opt_cfg=opt_cfg,
+                             cur_nimg_static=cur_nimg_static)
+        stats.update(s)
+    state = ema_step(state, batch_size=batch_size, ema_kimg=ema_kimg,
+                     ema_rampup=ema_rampup)
+    return state, stats
