@@ -253,6 +253,19 @@ def sample_points(params, coordinates, ws, cfg: GeneratorConfig, *,
                      coordinates, cfg.rendering)
 
 
+def sample_points_z(params, coordinates, z, c, cfg: GeneratorConfig, *,
+                    truncation_psi: float = 1.0,
+                    truncation_cutoff: Optional[int] = None,
+                    noise_mode: str = "const",
+                    rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """z-conditioned point evaluation (ref triplane.py:140-148 `sample`);
+    `sample_points` is the ws-conditioned `sample_mixed` equivalent."""
+    ws = mapping(params, z, c, cfg, truncation_psi=truncation_psi,
+                 truncation_cutoff=truncation_cutoff)
+    return sample_points(params, coordinates, ws, cfg, noise_mode=noise_mode,
+                         rng=rng)
+
+
 def generate(params, z, c, cfg: GeneratorConfig, *, truncation_psi: float = 1.0,
              truncation_cutoff: Optional[int] = None,
              neural_rendering_resolution: Optional[int] = None,
