@@ -20,6 +20,7 @@ denorm_samples) → {'rgb', 'sigma', 'seg'?}.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -333,15 +334,25 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         rngs[0], ray_origins, ray_start, ray_end, S, cfg.disparity_space_sampling
     )
 
+    @partial(jax.checkpoint, static_argnums=())
+    def _eval_coords(decoder_params_, norm_planes_, denorm_planes_, depths, rng_eval):
+        # Rematerialized in the backward pass: the per-point plane samples
+        # (B·R·S·32 floats per plane set) are the largest residuals of the
+        # whole training step — recomputing the sampling kernel is far
+        # cheaper than holding them in HBM (SURVEY §7: jax.checkpoint to
+        # trade FLOPs for memory).
+        coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+        out = run_model(decoder_fn, decoder_params_, norm_planes_, denorm_planes_,
+                        coords, cfg, rng_eval, plane_stats=plane_stats)
+        return out["rgb"], out["sigma"], out.get("seg")
+
     def eval_at(depths, rng_eval):
         S_ = depths.shape[2]
-        coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
-        out = run_model(decoder_fn, decoder_params, norm_planes, denorm_planes,
-                        coords, cfg, rng_eval, plane_stats=plane_stats)
-        colors = out["rgb"].reshape(B, R, S_, -1)
-        densities = out["sigma"].reshape(B, R, S_, 1)
-        segs = out.get("seg")
-        segs = None if segs is None else segs.reshape(B, R, S_, -1)
+        rgb, sigma, seg = _eval_coords(decoder_params, norm_planes,
+                                       denorm_planes, depths, rng_eval)
+        colors = rgb.reshape(B, R, S_, -1)
+        densities = sigma.reshape(B, R, S_, 1)
+        segs = None if seg is None else seg.reshape(B, R, S_, -1)
         return colors, densities, segs
 
     colors_c, densities_c, segs_c = eval_at(depths_coarse, rngs[1])
