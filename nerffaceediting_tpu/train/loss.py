@@ -36,36 +36,69 @@ from ..editing.masks import remap_seg
 
 def rgb_uv_histogram(x: jax.Array, weights: Optional[jax.Array] = None,
                      h: int = 64, sigma: float = 0.02,
-                     intensity_scale: bool = True, eps: float = 1e-6) -> jax.Array:
+                     intensity_scale: bool = True, eps: float = 1e-6,
+                     chunk: int = 8192) -> jax.Array:
     """Differentiable log-chroma histogram (ref RGBuvHistBlock, loss.py:93-124).
 
-    x: (B, 3, N) pixels in (−1, 1). weights: optional (B, N) per-pixel
-    weights (used for masked per-label histograms). Returns (B, 3, h, h),
-    normalized to sum 1 per sample.
+    x: (B, 3, N) pixels in (−1, 1). weights: optional per-pixel weights —
+    (B, N) for one masked histogram or (B, L, N) for L masked histograms in
+    one pass (the vectorized per-label loss). Returns (B, 3, h, h) or
+    (B, L, 3, h, h), normalized to sum 1 per (sample[, label]).
+
+    Accumulates over pixel chunks with lax.scan: the (chunk, 3, h) kernel
+    tensors are the only large intermediates, keeping memory flat in N (at
+    512² the unchunked kernels are ~800 MB each and OOM the backward).
     """
+    multi = weights is not None and weights.ndim == 3
+    B, _, N = x.shape
+    n_chunks = -(-N // chunk)
+    Np = n_chunks * chunk
+    pad = Np - N
+
     x = jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
-    I = x.transpose(0, 2, 1)  # (B, N, 3)
+    I = jnp.pad(x, ((0, 0), (0, 0), (0, pad))).transpose(0, 2, 1)  # (B, Np, 3)
     if intensity_scale:
-        Iy = jnp.sqrt(jnp.sum(jnp.square(I), axis=-1) + eps)  # (B, N)
+        Iy = jnp.sqrt(jnp.sum(jnp.square(I), axis=-1) + eps)  # (B, Np)
     else:
         Iy = jnp.ones(I.shape[:2], I.dtype)
+    if pad:
+        valid = jnp.arange(Np) < N
+        Iy = Iy * valid[None]
     if weights is not None:
-        Iy = Iy * weights
+        w = jnp.pad(weights, ((0, 0),) * (weights.ndim - 1) + ((0, pad),))
+        wIy = w * (Iy[:, None] if multi else Iy)
+    else:
+        wIy = Iy
 
-    grid = jnp.linspace(-3.0, 3.0, h)  # (h,)
+    grid = jnp.linspace(-3.0, 3.0, h)
     logI = jnp.log(I + eps)
     # u = log(c) − log(c_u), v = log(c) − log(c_v) with the channel pairs of
     # ref loss.py:106-107.
-    Iu = logI - logI[..., jnp.array([1, 0, 0])]  # (B, N, 3)
+    Iu = logI - logI[..., jnp.array([1, 0, 0])]  # (B, Np, 3)
     Iv = logI - logI[..., jnp.array([2, 2, 1])]
 
-    def kernel(d):
-        return 1.0 / (1.0 + jnp.square(d) / sigma**2)  # inverse-quadratic
+    @jax.checkpoint  # recompute the (chunk, 3, h) kernels in the backward —
+    def body(acc, args):  # scan would otherwise store them for EVERY chunk
+        iu, iv, wiy = args  # (B, chunk, 3), (B, chunk, 3), (B[, L], chunk)
+        ku = 1.0 / (1.0 + jnp.square(iu[..., None] - grid) / sigma**2)
+        kv = 1.0 / (1.0 + jnp.square(iv[..., None] - grid) / sigma**2)
+        if multi:
+            acc = acc + jnp.einsum("bln,bnch,bnck->blchk", wiy, ku, kv)
+        else:
+            acc = acc + jnp.einsum("bn,bnch,bnck->bchk", wiy, ku, kv)
+        return acc, None
 
-    ku = kernel(jnp.abs(Iu[..., None] - grid))  # (B, N, 3, h)
-    kv = kernel(jnp.abs(Iv[..., None] - grid))
-    hists = jnp.einsum("bn,bnch,bnck->bchk", Iy, ku, kv)
-    total = jnp.sum(hists, axis=(1, 2, 3), keepdims=True)
+    def to_chunks(a, axis):  # split the pixel axis into (n_chunks, chunk)
+        a = jnp.moveaxis(a, axis, 0)
+        return a.reshape(n_chunks, chunk, *a.shape[1:])
+
+    iu_c = jnp.swapaxes(to_chunks(Iu, 1), 1, 2)            # (n, B, chunk, 3)
+    iv_c = jnp.swapaxes(to_chunks(Iv, 1), 1, 2)
+    wiy_c = jnp.moveaxis(to_chunks(wIy, wIy.ndim - 1), 1, -1)  # (n, B[, L], chunk)
+
+    acc0 = jnp.zeros((B, weights.shape[1], 3, h, h) if multi else (B, 3, h, h))
+    hists, _ = jax.lax.scan(body, acc0, (iu_c, iv_c, wiy_c))
+    total = jnp.sum(hists, axis=(-1, -2, -3), keepdims=True)
     return hists / (total + eps)
 
 
@@ -99,13 +132,16 @@ def per_label_hist_loss(img: jax.Array, seg_logits: jax.Array) -> jax.Array:
     labels = jnp.argmax(seg_logits, axis=1).reshape(B, H * W)  # (B, N)
     pixels = img.reshape(B, 3, H * W)
 
+    # All 12 weighted labels in ONE chunked histogram pass (B, 12, 3, h, h).
+    labs = jnp.asarray(list(SEG2WEIGHT.keys()))
+    label_weights = jnp.asarray(list(SEG2WEIGHT.values()))
+    masks = (labels[:, None, :] == labs[None, :, None]).astype(img.dtype)
+    hists = rgb_uv_histogram(pixels, weights=masks)  # (B, L, 3, h, h)
+
     loss = 0.0
-    for lab, weight in SEG2WEIGHT.items():
-        mask = (labels == lab).astype(img.dtype)
-        hists = rgb_uv_histogram(pixels, weights=mask)
-        loss = loss + weight * hist_distance(
-            jax.lax.stop_gradient(hists[:1]), hists[1:]
-        )
+    for li in range(labs.shape[0]):
+        loss = loss + label_weights[li] * hist_distance(
+            jax.lax.stop_gradient(hists[:1, li]), hists[1:, li])
     return loss
 
 
@@ -260,9 +296,11 @@ def g_main_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
 
 def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
                d_cfg: DiscriminatorConfig, cfg: LossConfig,
-               cur_nimg: int) -> Tuple[jax.Array, Dict]:
+               cur_nimg: int, include_density: bool = True) -> Tuple[jax.Array, Dict]:
     """Histogram color regularization on the statistics-swapped batch +
-    adversarial term + density regularization (ref loss.py:283-419)."""
+    adversarial term + density regularization (ref loss.py:283-419).
+    include_density=False lets the caller backpropagate the density term
+    separately (the reference's split backwards)."""
     rng_g, rng_d, rng_dens = jax.random.split(rng, 3)
     nrr = cfg.neural_rendering_resolution(cur_nimg)
     stats: Dict = {}
@@ -291,7 +329,7 @@ def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
             stats["Loss/G/hist_loss"] = loss_hist_adv
             loss = loss + loss_hist_adv * cfg.hist_adv
 
-    if g_cfg.rendering.density_reg > 0:
+    if include_density and g_cfg.rendering.density_reg > 0:
         loss_dens = density_regularization(g_params, z, c, rng_dens, g_cfg, cfg, cur_nimg)
         stats["Loss/G/density_reg"] = loss_dens
         loss = loss + loss_dens

@@ -134,12 +134,31 @@ def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
 @partial(jax.jit, static_argnames=_STATIC)
 def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
-    def loss_fn(g_params):
-        return loss_mod.g_reg_loss(
-            g_params, state.d_params, z, gen_c, rng, g_cfg=g_cfg, d_cfg=d_cfg,
-            cfg=loss_cfg, cur_nimg=cur_nimg_static)
+    """Histogram and density regularizers backpropagate SEPARATELY and sum
+    their gradients (the reference's two .backward() calls within the Greg
+    phase, loss.py:307,331) — halves the peak activation memory vs one
+    fused backward."""
+    rng_hist, rng_dens = jax.random.split(rng)
+    stats: Dict = {}
 
-    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g_params)
+    def hist_fn(g_params):
+        return loss_mod.g_reg_loss(
+            g_params, state.d_params, z, gen_c, rng_hist, g_cfg=g_cfg,
+            d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static,
+            include_density=False)
+
+    (_, s), grads = jax.value_and_grad(hist_fn, has_aux=True)(state.g_params)
+    stats.update(s)
+
+    if g_cfg.rendering.density_reg > 0:
+        def dens_fn(g_params):
+            return loss_mod.density_regularization(
+                g_params, z, gen_c, rng_dens, g_cfg, loss_cfg, cur_nimg_static)
+
+        dens_loss, dens_grads = jax.value_and_grad(dens_fn)(state.g_params)
+        stats["Loss/G/density_reg"] = dens_loss
+        grads = jax.tree.map(jnp.add, grads, dens_grads)
+
     return _g_apply(state, grads, opt_cfg), stats
 
 
