@@ -113,7 +113,7 @@ def _d_apply(state: TrainState, grads, opt_cfg) -> TrainState:
                           d_opt_state=d_opt_state)
 
 
-@partial(jax.jit, static_argnames=_STATIC + ("has_parser",))
+@partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
 def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
                opt_cfg, cur_nimg_static: int = 0, has_parser: bool = False,
                face_parser_params=None) -> Tuple[TrainState, Dict]:
@@ -131,7 +131,7 @@ def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     return _g_apply(state, grads, opt_cfg), stats
 
 
-@partial(jax.jit, static_argnames=_STATIC)
+@partial(jax.jit, static_argnames=_STATIC, donate_argnums=(0,))
 def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
     """Histogram and density regularizers backpropagate SEPARATELY and sum
@@ -162,7 +162,7 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     return _g_apply(state, grads, opt_cfg), stats
 
 
-@partial(jax.jit, static_argnames=_STATIC)
+@partial(jax.jit, static_argnames=_STATIC, donate_argnums=(0,))
 def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
                d_cfg, loss_cfg, opt_cfg,
                cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
@@ -175,7 +175,7 @@ def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
     return _d_apply(state, grads, opt_cfg), stats
 
 
-@partial(jax.jit, static_argnames=_STATIC + ("has_parser",))
+@partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
 def dreg_step(state: TrainState, real_img, real_c, rng, *, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0,
               g_cfg=None, has_parser=False) -> Tuple[TrainState, Dict]:
@@ -188,7 +188,7 @@ def dreg_step(state: TrainState, real_img, real_c, rng, *, d_cfg, loss_cfg,
     return _d_apply(state, grads, opt_cfg), stats
 
 
-@partial(jax.jit, static_argnames=("batch_size", "ema_kimg", "ema_rampup"))
+@partial(jax.jit, static_argnames=("batch_size", "ema_kimg", "ema_rampup"), donate_argnums=(0,))
 def ema_step(state: TrainState, *, batch_size: int, ema_kimg: float = 10.0,
              ema_rampup: Optional[float] = 0.05) -> TrainState:
     """G_ema lerp + nimg advance (ref training_loop.py:355-365)."""

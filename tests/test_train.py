@@ -132,6 +132,9 @@ class TestTrainStep:
         }
         batch = mesh_lib.shard_batch(mesh, batch)
 
+        # phase steps donate the state buffers — snapshot before stepping
+        g_before = jax.tree.map(lambda x: np.asarray(x), state.g_params)
+
         new_state, stats = train_step(
             state, batch["real_img"], batch["real_c"], batch["z"], batch["gen_c"],
             jax.random.key(6), g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg,
@@ -141,7 +144,8 @@ class TestTrainStep:
             assert np.isfinite(float(stats[name])), name
         # parameters actually moved
         moved = jax.tree.map(
-            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.g_params, new_state.g_params)
+            lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a) - b))),
+            g_before, new_state.g_params)
         assert max(jax.tree.leaves(moved)) > 0
         assert int(new_state.cur_nimg) == B
         # replicas stay consistent after the sharded step
