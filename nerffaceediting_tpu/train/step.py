@@ -172,7 +172,22 @@ def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
             g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
 
     (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
-    return _d_apply(state, grads, opt_cfg), stats
+    state = _d_apply(state, grads, opt_cfg)
+
+    # w_avg EMA update — the reference refreshes the truncation anchor during
+    # Dmain's generator forward (ref loss.py:424 update_emas=True →
+    # networks_stylegan2.py:251-253).
+    from ..models import triplane as triplane_mod
+    from ..models.stylegan2 import mapping_update_w_avg
+
+    rng_swap = jax.random.fold_in(rng, 17)
+    c_cond = loss_mod.swap_conditioning(rng_swap, gen_c,
+                                        loss_cfg.swapping_prob(cur_nimg_static))
+    ws = triplane_mod.mapping(state.g_params, z, c_cond, g_cfg)
+    g_params = dict(state.g_params)
+    g_params["mapping"] = mapping_update_w_avg(
+        state.g_params["mapping"], ws, beta=g_cfg.w_avg_beta)
+    return state._replace(g_params=g_params), stats
 
 
 @partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
