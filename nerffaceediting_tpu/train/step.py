@@ -71,6 +71,10 @@ class TrainState(NamedTuple):
 
 def init_train_state(g_params, d_params, opt_cfg: OptimizerConfig) -> TrainState:
     g_opt, d_opt = make_optimizers(opt_cfg)
+    # Copy the incoming params: the phase steps DONATE their state buffers,
+    # which would otherwise silently delete the caller's arrays.
+    g_params = jax.tree.map(jnp.copy, g_params)
+    d_params = jax.tree.map(jnp.copy, d_params)
     return TrainState(
         g_params=g_params,
         d_params=d_params,
@@ -96,7 +100,49 @@ def ema_beta(batch_size: int, cur_nimg, ema_kimg: float, ema_rampup: Optional[fl
     return jnp.asarray(0.5, jnp.float32) ** (batch_size / jnp.maximum(ema_nimg, 1e-8))
 
 
-_STATIC = ("g_cfg", "d_cfg", "loss_cfg", "opt_cfg", "cur_nimg_static")
+_STATIC = ("g_cfg", "d_cfg", "loss_cfg", "opt_cfg", "cur_nimg_static", "microbatch")
+
+
+def _microbatched_grads(grad_fn, params, batch_arrays, rng, n_micro: int):
+    """Gradient accumulation over micro-batches (the reference's `batch_gpu`
+    splitting, ref training_loop.py:314-334): lax.scan over micro-slices,
+    averaging grads and stats — peak activation memory is one micro-batch.
+
+    grad_fn(params, rng, *micro_arrays) → ((loss, stats), grads).
+    """
+    if n_micro == 1:
+        (_, stats), grads = grad_fn(params, rng, *batch_arrays)
+        return grads, stats
+
+    micro = [a.reshape(n_micro, a.shape[0] // n_micro, *a.shape[1:])
+             for a in batch_arrays]
+    rngs = jax.random.split(rng, n_micro)
+
+    def body(carry, xs):
+        acc_grads, acc_stats = carry
+        r, *arrays = xs
+        (_, stats), grads = grad_fn(params, r, *arrays)
+        acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+        if acc_stats is None:
+            acc_stats = stats
+        else:
+            acc_stats = jax.tree.map(jnp.add, acc_stats, stats)
+        return (acc_grads, acc_stats), None
+
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    # first micro-batch initializes the stats structure
+    (_, stats0), grads0 = grad_fn(params, rngs[0], *(m[0] for m in micro))
+    grads0 = jax.tree.map(jnp.add, zero_grads, grads0)
+    if n_micro > 1:
+        (grads, stats), _ = jax.lax.scan(
+            body, (grads0, stats0),
+            (rngs[1:], *[m[1:] for m in micro]))
+    else:
+        grads, stats = grads0, stats0
+    inv = 1.0 / n_micro
+    grads = jax.tree.map(lambda g: g * inv, grads)
+    stats = jax.tree.map(lambda s: s * inv, stats)
+    return grads, stats
 
 
 def _g_apply(state: TrainState, grads, opt_cfg) -> TrainState:
@@ -116,28 +162,33 @@ def _d_apply(state: TrainState, grads, opt_cfg) -> TrainState:
 @partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
 def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
                opt_cfg, cur_nimg_static: int = 0, has_parser: bool = False,
-               face_parser_params=None) -> Tuple[TrainState, Dict]:
+               face_parser_params=None, microbatch: int = 1) -> Tuple[TrainState, Dict]:
     face_parser = None
     if has_parser:
         from ..models.bisenet import bisenet_apply
         face_parser = lambda img: bisenet_apply(face_parser_params, img)
 
-    def loss_fn(g_params):
-        return loss_mod.g_main_loss(
-            g_params, state.d_params, z, gen_c, rng, g_cfg=g_cfg, d_cfg=d_cfg,
-            cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser)
+    def grad_fn(g_params, r, z_, c_):
+        def loss_fn(p):
+            return loss_mod.g_main_loss(
+                p, state.d_params, z_, c_, r, g_cfg=g_cfg, d_cfg=d_cfg,
+                cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser)
+        return jax.value_and_grad(loss_fn, has_aux=True)(g_params)
 
-    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g_params)
+    grads, stats = _microbatched_grads(grad_fn, state.g_params, (z, gen_c), rng, microbatch)
     return _g_apply(state, grads, opt_cfg), stats
 
 
 @partial(jax.jit, static_argnames=_STATIC, donate_argnums=(0,))
 def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
-              opt_cfg, cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
+              opt_cfg, cur_nimg_static: int = 0,
+              microbatch: int = 1) -> Tuple[TrainState, Dict]:
     """Histogram and density regularizers backpropagate SEPARATELY and sum
     their gradients (the reference's two .backward() calls within the Greg
     phase, loss.py:307,331) — halves the peak activation memory vs one
-    fused backward."""
+    fused backward. NOTE the histogram loss compares samples WITHIN the
+    batch (sample 0 is the reference), so it is NOT micro-batched; only the
+    density term is."""
     rng_hist, rng_dens = jax.random.split(rng)
     stats: Dict = {}
 
@@ -165,13 +216,16 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
 @partial(jax.jit, static_argnames=_STATIC, donate_argnums=(0,))
 def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
                d_cfg, loss_cfg, opt_cfg,
-               cur_nimg_static: int = 0) -> Tuple[TrainState, Dict]:
-    def loss_fn(d_params):
-        return loss_mod.d_main_loss(
-            d_params, state.g_params, z, gen_c, real_img, real_c, rng,
-            g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
+               cur_nimg_static: int = 0, microbatch: int = 1) -> Tuple[TrainState, Dict]:
+    def grad_fn(d_params, r, real_, rc_, z_, c_):
+        def loss_fn(p):
+            return loss_mod.d_main_loss(
+                p, state.g_params, z_, c_, real_, rc_, r,
+                g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
+        return jax.value_and_grad(loss_fn, has_aux=True)(d_params)
 
-    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+    grads, stats = _microbatched_grads(
+        grad_fn, state.d_params, (real_img, real_c, z, gen_c), rng, microbatch)
     state = _d_apply(state, grads, opt_cfg)
 
     # w_avg EMA update — the reference refreshes the truncation anchor during
@@ -193,13 +247,16 @@ def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
 @partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
 def dreg_step(state: TrainState, real_img, real_c, rng, *, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0,
-              g_cfg=None, has_parser=False) -> Tuple[TrainState, Dict]:
-    def loss_fn(d_params):
-        return loss_mod.d_reg_loss(
-            d_params, real_img, real_c, rng, d_cfg=d_cfg, cfg=loss_cfg,
-            cur_nimg=cur_nimg_static)
+              g_cfg=None, has_parser=False, microbatch: int = 1) -> Tuple[TrainState, Dict]:
+    def grad_fn(d_params, r, real_, rc_):
+        def loss_fn(p):
+            return loss_mod.d_reg_loss(
+                p, real_, rc_, r, d_cfg=d_cfg, cfg=loss_cfg,
+                cur_nimg=cur_nimg_static)
+        return jax.value_and_grad(loss_fn, has_aux=True)(d_params)
 
-    (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+    grads, stats = _microbatched_grads(
+        grad_fn, state.d_params, (real_img, real_c), rng, microbatch)
     return _d_apply(state, grads, opt_cfg), stats
 
 
@@ -218,7 +275,7 @@ def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
                do_greg: bool, do_dreg: bool, batch_size: int,
                ema_kimg: float = 10.0, ema_rampup: Optional[float] = 0.05,
                cur_nimg_static: int = 0, has_parser: bool = False,
-               face_parser_params=None,
+               face_parser_params=None, microbatch: int = 1,
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One full optimization iteration = the due phases in the reference's
     order (Gmain, Greg, Dmain, Dreg — training_loop.py:250-262), each its own
@@ -229,7 +286,8 @@ def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
     state, s = gmain_step(state, z, gen_c, rngs[0], g_cfg=g_cfg, d_cfg=d_cfg,
                           loss_cfg=loss_cfg, opt_cfg=opt_cfg,
                           cur_nimg_static=cur_nimg_static, has_parser=has_parser,
-                          face_parser_params=face_parser_params)
+                          face_parser_params=face_parser_params,
+                          microbatch=microbatch)
     stats.update(s)
     if do_greg:
         state, s = greg_step(state, z, gen_c, rngs[1], g_cfg=g_cfg, d_cfg=d_cfg,
@@ -238,12 +296,14 @@ def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
         stats.update(s)
     state, s = dmain_step(state, real_img, real_c, z, gen_c, rngs[2],
                           g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg,
-                          opt_cfg=opt_cfg, cur_nimg_static=cur_nimg_static)
+                          opt_cfg=opt_cfg, cur_nimg_static=cur_nimg_static,
+                          microbatch=microbatch)
     stats.update(s)
     if do_dreg:
         state, s = dreg_step(state, real_img, real_c, rngs[3], d_cfg=d_cfg,
                              loss_cfg=loss_cfg, opt_cfg=opt_cfg,
-                             cur_nimg_static=cur_nimg_static)
+                             cur_nimg_static=cur_nimg_static,
+                             microbatch=microbatch)
         stats.update(s)
     state = ema_step(state, batch_size=batch_size, ema_kimg=ema_kimg,
                      ema_rampup=ema_rampup)
