@@ -65,13 +65,14 @@ def sample_from_planes(plane_features: jax.Array, coordinates: jax.Array,
 
 
 def sample_planes(plane_features: jax.Array, coordinates: jax.Array,
-                  box_warp: float) -> jax.Array:
+                  box_warp: float, ray_shape=None) -> jax.Array:
     """Backend-dispatching tri-plane sampler: Pallas MXU kernel on TPU
     (ops/triplane_kernel.py), golden gather path elsewhere."""
     if jax.default_backend() in ("tpu", "axon"):
         from ..ops.triplane_kernel import sample_from_planes_fused
 
-        return sample_from_planes_fused(plane_features, coordinates, box_warp)
+        return sample_from_planes_fused(plane_features, coordinates, box_warp,
+                                        ray_shape=ray_shape)
     return sample_from_planes(plane_features, coordinates, box_warp)
 
 
@@ -243,6 +244,7 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
               coordinates, cfg: RenderingConfig,
               rng: Optional[jax.Array] = None,
               plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
+              ray_shape: Optional[Tuple[int, int, int]] = None,
               ) -> Dict[str, jax.Array]:
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
@@ -261,7 +263,8 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
         N, n_planes, C, H, W = norm_planes.shape
         M = coordinates.shape[1]
         hwc = norm_planes.reshape(N * n_planes, C, H, W).transpose(0, 2, 3, 1)
-        samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp)
+        samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp,
+                                        ray_shape=ray_shape)
         sampled_norm = samples.reshape(N, n_planes, M, C)
         mean, var = plane_stats  # (N, 3, C)
         sampled_denorm = (
@@ -283,11 +286,13 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
         denorm_planes = (norm_planes * var[:, :, :, None, None]
                          + mean[:, :, :, None, None])
 
-    sampled_denorm = sample_planes(denorm_planes, coordinates, cfg.box_warp)
+    sampled_denorm = sample_planes(denorm_planes, coordinates, cfg.box_warp,
+                                   ray_shape=ray_shape)
     if norm_planes is None:
         out = decoder_fn(decoder_params, sampled_denorm)
     else:
-        sampled_norm = sample_planes(norm_planes, coordinates, cfg.box_warp)
+        sampled_norm = sample_planes(norm_planes, coordinates, cfg.box_warp,
+                                     ray_shape=ray_shape)
         out = decoder_fn(decoder_params, sampled_norm, sampled_denorm)
     if cfg.density_noise > 0:
         assert rng is not None
@@ -334,6 +339,11 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         rngs[0], ray_origins, ray_start, ray_end, S, cfg.disparity_space_sampling
     )
 
+    # Static (rh, rw, S) layout hint for the windowed Pallas fast path —
+    # render rays are row-major over a square pixel grid.
+    res = int(round(R ** 0.5))
+    ray_res = res if res * res == R else None
+
     @partial(jax.checkpoint, static_argnums=())
     def _eval_coords(decoder_params_, norm_planes_, denorm_planes_, depths, rng_eval):
         # Rematerialized in the backward pass: the per-point plane samples
@@ -342,8 +352,10 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         # cheaper than holding them in HBM (SURVEY §7: jax.checkpoint to
         # trade FLOPs for memory).
         coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+        rs = (ray_res, ray_res, depths.shape[2]) if ray_res is not None else None
         out = run_model(decoder_fn, decoder_params_, norm_planes_, denorm_planes_,
-                        coords, cfg, rng_eval, plane_stats=plane_stats)
+                        coords, cfg, rng_eval, plane_stats=plane_stats,
+                        ray_shape=rs)
         return out["rgb"], out["sigma"], out.get("seg")
 
     def eval_at(depths, rng_eval):

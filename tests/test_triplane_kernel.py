@@ -119,3 +119,85 @@ class TestKernelGradients:
         g = jax.grad(loss)(hwc)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestWindowedFastPath:
+    """The windowed (binned) fast path: spatially-coherent point tiles
+    contract a WIN×WIN plane window instead of the full plane."""
+
+    @staticmethod
+    def _ray_coords(rng, rh=16, rw=16, S=8, spread=0.04):
+        """Synthetic ray-major coherent points: an rh×rw pixel grid marching
+        along slightly-divergent rays (small per-patch plane footprint)."""
+        px = np.linspace(-0.4, 0.4, rw)
+        py = np.linspace(-0.4, 0.4, rh)
+        yy, xx = np.meshgrid(py, px, indexing="ij")
+        origins = np.stack([xx, yy, np.full_like(xx, -0.45)], -1).reshape(-1, 3)
+        dirs = np.stack([xx * spread, yy * spread, np.ones_like(xx)], -1).reshape(-1, 3)
+        t = np.linspace(0.0, 0.9, S)
+        pts = origins[:, None, :] + t[None, :, None] * dirs[:, None, :]
+        pts = pts + rng.normal(scale=1e-3, size=pts.shape)
+        return jnp.asarray(pts.reshape(1, rh * rw * S, 3).astype(np.float32))
+
+    def test_fast_path_taken_and_matches_golden(self):
+        from nerffaceediting_tpu.ops.triplane_kernel import fast_path_pred
+
+        rng = np.random.default_rng(11)
+        coords = self._ray_coords(rng)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 32, 64, 64)).astype(np.float32))
+        assert bool(fast_path_pred(
+            planes.reshape(3, 32, 64, 64).transpose(0, 2, 3, 1), coords,
+            ray_shape=(16, 16, 8)))
+        ref = sample_from_planes(planes, coords, box_warp=1.0)
+        out = sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                       ray_shape=(16, 16, 8),
+                                       interpret=True, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fast_path_partially_out_of_bounds(self):
+        """Coherent rays marching off the plane edge: zeros padding must be
+        preserved on the windowed path."""
+        rng = np.random.default_rng(12)
+        coords = self._ray_coords(rng) + jnp.asarray([0.45, 0.0, 0.0])
+        planes = jnp.asarray(rng.normal(size=(1, 3, 16, 64, 64)).astype(np.float32))
+        ref = sample_from_planes(planes, coords, box_warp=1.0)
+        out = sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                       ray_shape=(16, 16, 8),
+                                       interpret=True, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_incoherent_points_fall_back(self):
+        from nerffaceediting_tpu.ops.triplane_kernel import fast_path_pred
+
+        rng = np.random.default_rng(13)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 16, 64, 64)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 2048, 3)).astype(np.float32))
+        hwc = planes.reshape(3, 16, 64, 64).transpose(0, 2, 3, 1)
+        assert not bool(fast_path_pred(hwc, coords))
+        # and the dispatch still returns golden results via the slow branch
+        ref = sample_from_planes(planes, coords, box_warp=1.0)
+        out = sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                       interpret=True, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grid_order_coords_fall_back_correctly(self):
+        """G.sample()-style full-line shape grids span the whole plane per
+        256-point run — the dispatch must fall back and stay golden."""
+        from nerffaceediting_tpu.ops.triplane_kernel import fast_path_pred
+
+        rng = np.random.default_rng(14)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 8, 128, 128)).astype(np.float32))
+        n = 32
+        g = np.linspace(-0.5, 0.5, n).astype(np.float32)
+        zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+        coords = jnp.asarray(np.stack([xx, yy, zz], -1).reshape(1, -1, 3))
+        hwc = planes.reshape(3, 8, 128, 128).transpose(0, 2, 3, 1)
+        assert not bool(fast_path_pred(hwc, coords))
+        ref = sample_from_planes(planes, coords, box_warp=1.0)
+        out = sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                       interpret=True, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
