@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neural-rendering-resolution-final", type=int, default=None)
     p.add_argument("--neural-rendering-resolution-fade-kimg", type=int, default=1000)
     p.add_argument("--aug", default="noaug", choices=["noaug", "ada", "fixed"])
+    p.add_argument("--p", type=float, default=0.2,
+                   help="fixed ADA strength for --aug fixed (ref train.py:147)")
+    p.add_argument("--target", type=float, default=0.6,
+                   help="ADA sign target for --aug ada (ref train.py:148)")
     p.add_argument("--disc-c-noise", type=float, default=0.0)
     p.add_argument("--face-parser", default=None,
                    help="path to 79999_iter.pth for the seg loss")
@@ -125,7 +129,8 @@ def configs_from_args(args):
         seg_weight=args.seg_weight, hist_weight=args.hist_weight,
         hist_adv=args.hist_adv, hist_type=args.hist_type,
         blur_init_sigma=10.0 if args.blur_fade_kimg > 0 else 0.0,
-        blur_fade_kimg=args.blur_fade_kimg,
+        # ref train.py:345: fade duration scales with batch size.
+        blur_fade_kimg=args.batch * args.blur_fade_kimg / 32,
         neural_rendering_resolution_initial=args.neural_rendering_resolution_initial,
         neural_rendering_resolution_final=args.neural_rendering_resolution_final,
         neural_rendering_resolution_fade_kimg=args.neural_rendering_resolution_fade_kimg,
@@ -174,14 +179,24 @@ def main(argv=None):
 
     tcfg = TrainingConfig(
         run_dir=run_dir, total_kimg=args.kimg, kimg_per_tick=args.tick,
-        snapshot_ticks=args.snap, batch_size=args.batch, seed=args.seed,
+        snapshot_ticks=args.snap, image_snapshot_ticks=args.snap,
+        batch_size=args.batch, seed=args.seed,
+        ema_kimg=args.batch * 10 / 32,  # ref train.py:269
         face_parser_path=args.face_parser,
+        aug=args.aug, ada_target=args.target, augment_p=args.p,
     )
     resume_state = None
     if args.resume:
+        import dataclasses as _dc
+
         from ..train.loop import restore_snapshot
 
         resume_state = restore_snapshot(args.resume, g_cfg, d_cfg, opt_cfg)
+        # Resume disables warm-start rampups (ref train.py:372-378): no EMA
+        # rampup, no blur fade, no gpc fade, faster ADA adjustment.
+        tcfg = _dc.replace(tcfg, ema_rampup=None, ada_kimg=100.0)
+        loss_cfg = _dc.replace(loss_cfg, blur_init_sigma=0.0,
+                               blur_fade_kimg=0.0, gpc_reg_fade_kimg=0.0)
     training_loop(g_cfg, d_cfg, loss_cfg, opt_cfg, tcfg, data_iter,
                   resume_state=resume_state, max_steps=args.max_steps)
 

@@ -154,13 +154,21 @@ def _output_head(p, x):
     return _conv(x, p["conv_out"]["weight"])
 
 
-def bisenet_apply(params: Dict, img: jax.Array, main_only: bool = True):
+def bisenet_apply(params: Dict, img: jax.Array, main_only: bool = True,
+                  rescale_01: bool = False):
     """img (B, 3, H, W) in (−1, 1) → 19-class logits (B, 19, H, W).
 
-    Applies the (−1,1)→(0,1)→ImageNet-normalize preprocessing of
-    ref loss.py:204 internally. Returns only the main head by default (the
-    loss uses face2seg(x)[0], ref loss.py:204)."""
-    x = jnp.clip(img, -1, 1) / 2.0 + 0.5
+    Preprocessing matches ref loss.py:204 bit-for-bit: ImageNet
+    Normalize((0.485,0.456,0.406),(0.229,0.224,0.225)) applied DIRECTLY to
+    the clamped (−1,1) image — the reference does NOT rescale to (0,1)
+    first (the parser was trained on (0,1) inputs, but the training loss
+    consumed it this way, so parity requires reproducing it). Set
+    ``rescale_01=True`` for the standards-correct (0,1) preprocessing when
+    using the parser standalone. Returns only the main head by default
+    (the loss uses face2seg(x)[0], ref loss.py:204)."""
+    x = jnp.clip(img, -1, 1)
+    if rescale_01:
+        x = x / 2.0 + 0.5
     mean = jnp.asarray(IMAGENET_MEAN, x.dtype).reshape(1, 3, 1, 1)
     std = jnp.asarray(IMAGENET_STD, x.dtype).reshape(1, 3, 1, 1)
     x = (x - mean) / std

@@ -9,6 +9,7 @@ should catch `NativeLoaderUnavailable` and use the Python loader.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Dict, Iterator, Optional
@@ -16,7 +17,6 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "loader.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "_loader.so")
 
 
 class NativeLoaderUnavailable(RuntimeError):
@@ -24,19 +24,25 @@ class NativeLoaderUnavailable(RuntimeError):
 
 
 def _build() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    """Compile loader.cpp on demand. The artifact is keyed on the source
+    hash (never committed — a stale or unauditable prebuilt blob must not
+    be loadable), cached next to the source."""
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:16]
+    so = os.path.join(os.path.dirname(__file__), f"_loader-{tag}.so")
+    if os.path.exists(so):
+        return so
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _SO + ".tmp", "-lpng", "-ljpeg", "-lz",
+        _SRC, "-o", so + ".tmp", "-lpng", "-ljpeg", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         detail = getattr(e, "stderr", str(e))
         raise NativeLoaderUnavailable(f"loader build failed: {detail}") from e
-    os.replace(_SO + ".tmp", _SO)
-    return _SO
+    os.replace(so + ".tmp", so)
+    return so
 
 
 _lib = None

@@ -33,11 +33,18 @@ class TrainingConfig:
     total_kimg: int = 25000          # ref train.py:160
     kimg_per_tick: int = 4           # ref train.py:161
     snapshot_ticks: int = 50         # ref train.py:162
+    image_snapshot_ticks: int = 50   # PNG grid cadence (ref train.py:162)
     batch_size: int = 32             # ref start.sh
     ema_kimg: float = 10.0           # batch·10/32 (ref train.py:269)
     ema_rampup: Optional[float] = 0.05
     seed: int = 0
     face_parser_path: Optional[str] = None  # 79999_iter.pth for seg loss
+    # ADA (ref train.py:142-148, training_loop.py:148-151,226-234).
+    aug: str = "noaug"               # noaug | ada | fixed
+    ada_target: float = 0.6          # --target
+    ada_interval: int = 4            # batches between p adjustments
+    ada_kimg: float = 500.0          # p ramp speed
+    augment_p: float = 0.2           # --p for aug=fixed
 
 
 def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
@@ -46,9 +53,14 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
                   resume_state: Optional[TrainState] = None,
                   abort_fn: Optional[Callable[[], bool]] = None,
                   progress_fn: Optional[Callable[[int, int], None]] = None,
+                  metric_fn: Optional[Callable[[TrainState, int], Dict]] = None,
                   max_steps: Optional[int] = None) -> TrainState:
     """Run training; returns the final state. `data_iter` yields
-    {'image': (B,3,R,R) float32 in (−1,1), 'label': (B,25)} host batches."""
+    {'image': (B,3,R,R) float32 in (−1,1), 'label': (B,25)} host batches.
+
+    metric_fn: optional per-snapshot evaluation hook (the reference's in-loop
+    metric block, ref training_loop.py:463-472): called with (state, cur_nimg)
+    at snapshot ticks, its dict is appended to metrics.jsonl."""
     os.makedirs(tcfg.run_dir, exist_ok=True)
     mesh = mesh_lib.make_mesh()
     rng = jax.random.key(tcfg.seed)
@@ -75,7 +87,30 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
 
     collector = Collector()
     logger = StatsLogger(tcfg.run_dir)
-    ema_kimg = tcfg.batch_size * 10 / 32  # ref train.py:269
+    ema_kimg = tcfg.ema_kimg  # CLI sets batch·10/32 (ref train.py:269)
+
+    # ADA setup (ref training_loop.py:226-234): controller for aug=ada,
+    # constant p for aug=fixed, None (no augment program) for noaug.
+    ada_controller = None
+    ada_p_val: Optional[float] = None
+    if tcfg.aug == "ada":
+        from .augment import AdaController
+
+        ada_controller = AdaController(target=tcfg.ada_target,
+                                       speed_kimg=tcfg.ada_kimg)
+        ada_p_val = ada_controller.p
+    elif tcfg.aug == "fixed":
+        ada_p_val = tcfg.augment_p
+    elif tcfg.aug != "noaug":
+        raise ValueError(f"unknown aug mode {tcfg.aug!r}")
+    ada_sign_acc: list = []
+
+    # Fixed visualization grid (ref training_loop.py:280-295 exports reals +
+    # per-snapshot fakes; here z is fixed and c comes from the first batch).
+    rng, k_grid = jax.random.split(rng)
+    grid_n = min(8, tcfg.batch_size)
+    grid_z = jax.random.normal(k_grid, (grid_n, g_cfg.z_dim))
+    grid_c = None
 
     step_idx = 0
     cur_nimg = int(state.cur_nimg)
@@ -95,6 +130,8 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
             "real_img": jnp.asarray(batch["image"]),
             "real_c": jnp.asarray(batch["label"]),
         })
+        if grid_c is None:
+            grid_c = np.asarray(batch["label"][:grid_n])
         rng, k_z, k_step = jax.random.split(rng, 3)
         z = mesh_lib.shard_batch(mesh, jax.random.normal(k_z, (tcfg.batch_size, g_cfg.z_dim)))
         # generator conditioning labels = real labels (swapping inside loss)
@@ -105,17 +142,31 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
         # schedule values are static per ~tick (recompile at boundaries)
         nimg_bucket = (cur_nimg // (tcfg.kimg_per_tick * 1000)) * tcfg.kimg_per_tick * 1000
 
-        state, stats = train_step(
-            state, sharded["real_img"], sharded["real_c"], z, gen_c, k_step,
-            g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg,
-            do_greg=do_greg, do_dreg=do_dreg, batch_size=tcfg.batch_size,
-            ema_kimg=ema_kimg, ema_rampup=tcfg.ema_rampup,
-            cur_nimg_static=nimg_bucket, has_parser=has_parser,
-            face_parser_params=face_parser_params,
-        )
+        ada_p = jnp.asarray(ada_p_val, jnp.float32) if ada_p_val is not None else None
+        with jax.profiler.StepTraceAnnotation("train_step", step_num=step_idx):
+            state, stats = train_step(
+                state, sharded["real_img"], sharded["real_c"], z, gen_c, k_step,
+                g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg,
+                do_greg=do_greg, do_dreg=do_dreg, batch_size=tcfg.batch_size,
+                ema_kimg=ema_kimg, ema_rampup=tcfg.ema_rampup,
+                cur_nimg_static=nimg_bucket, has_parser=has_parser,
+                face_parser_params=face_parser_params, ada_p=ada_p,
+            )
         collector.update({k: float(v) for k, v in stats.items()})
         cur_nimg += tcfg.batch_size
         step_idx += 1
+
+        # ADA heuristic (ref training_loop.py:371-375): adjust p from the
+        # mean sign of D's real logits every ada_interval batches.
+        if ada_controller is not None:
+            if "Loss/signs/real" in stats:
+                ada_sign_acc.append(float(stats["Loss/signs/real"]))
+            if step_idx % tcfg.ada_interval == 0 and ada_sign_acc:
+                ada_p_val = ada_controller.update(
+                    float(np.mean(ada_sign_acc)),
+                    tcfg.batch_size * tcfg.ada_interval)
+                ada_sign_acc.clear()
+                collector.update({"Progress/augment": ada_p_val})
 
         # Tick (ref training_loop.py:377-399).
         if cur_nimg - tick_start_nimg >= tcfg.kimg_per_tick * 1000:
@@ -132,8 +183,19 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
             tick_start_time = now
 
             n_ticks = cur_nimg // (tcfg.kimg_per_tick * 1000)
+            if (tcfg.image_snapshot_ticks and grid_c is not None
+                    and n_ticks % tcfg.image_snapshot_ticks == 0):
+                save_image_grids(tcfg.run_dir, state, grid_z, grid_c, g_cfg,
+                                 cur_nimg)
             if tcfg.snapshot_ticks and n_ticks % tcfg.snapshot_ticks == 0:
                 save_snapshot(tcfg.run_dir, state, cur_nimg)
+                if metric_fn is not None:
+                    # in-loop evaluation hook (ref training_loop.py:463-472)
+                    results = metric_fn(state, cur_nimg)
+                    with open(os.path.join(tcfg.run_dir, "metrics.jsonl"),
+                              "a") as f:
+                        f.write(json.dumps(
+                            {"nimg": cur_nimg, **results}) + "\n")
             if progress_fn is not None:
                 progress_fn(cur_nimg // 1000, tcfg.total_kimg)
             if abort_fn is not None and abort_fn():
@@ -141,6 +203,53 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
 
     logger.close()
     return state
+
+
+def save_image_grids(run_dir: str, state: TrainState, grid_z, grid_c,
+                     g_cfg: GeneratorConfig, cur_nimg: int,
+                     nrr: Optional[int] = None) -> None:
+    """PNG snapshot grids of G_ema outputs — image / seg palette / depth
+    (ref training_loop.py:409-418 exports fakes.png, fakes_seg.png,
+    fakes_depth.png at each image snapshot)."""
+    from PIL import Image
+
+    from ..editing.masks import labels_to_colors
+
+    n = grid_z.shape[0]
+    outs = []
+    for i in range(n):  # one sample at a time: keeps snapshot memory tiny
+        out = triplane.generate(
+            state.g_ema, grid_z[i:i + 1], jnp.asarray(grid_c[i:i + 1]),
+            g_cfg, neural_rendering_resolution=nrr, rng=None)
+        outs.append(jax.device_get({
+            "image": out["image"][0],
+            "seg": labels_to_colors(out["image_seg"])[0],
+            "depth": out["image_depth"][0],
+        }))
+
+    def to_grid(key, normalize=False):
+        imgs = [o[key] for o in outs]
+        if normalize:  # depth: per-grid min/max → grayscale
+            lo = min(float(i.min()) for i in imgs)
+            hi = max(float(i.max()) for i in imgs)
+            imgs = [(i - lo) / max(hi - lo, 1e-8) * 2 - 1 for i in imgs]
+            imgs = [np.repeat(np.asarray(i), 3, axis=0) for i in imgs]
+        cols = min(4, n)
+        rows = -(-n // cols)
+        C, H, W = imgs[0].shape
+        canvas = np.zeros((rows * H, cols * W, 3), np.float32)
+        for idx, img in enumerate(imgs):
+            r, c_ = divmod(idx, cols)
+            canvas[r * H:(r + 1) * H, c_ * W:(c_ + 1) * W] = (
+                np.asarray(img).transpose(1, 2, 0))
+        canvas = np.clip((canvas + 1) * 127.5, 0, 255).astype(np.uint8)
+        return Image.fromarray(canvas)
+
+    tag = f"{cur_nimg // 1000:06d}"
+    to_grid("image").save(os.path.join(run_dir, f"fakes{tag}.png"))
+    to_grid("seg").save(os.path.join(run_dir, f"fakes{tag}_seg.png"))
+    to_grid("depth", normalize=True).save(
+        os.path.join(run_dir, f"fakes{tag}_depth.png"))
 
 
 def save_snapshot(run_dir: str, state: TrainState, cur_nimg: int) -> None:

@@ -162,7 +162,8 @@ def _d_apply(state: TrainState, grads, opt_cfg) -> TrainState:
 @partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
 def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
                opt_cfg, cur_nimg_static: int = 0, has_parser: bool = False,
-               face_parser_params=None, microbatch: int = 1) -> Tuple[TrainState, Dict]:
+               face_parser_params=None, microbatch: int = 1,
+               ada_p=None) -> Tuple[TrainState, Dict]:
     face_parser = None
     if has_parser:
         from ..models.bisenet import bisenet_apply
@@ -170,9 +171,11 @@ def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
 
     def grad_fn(g_params, r, z_, c_):
         def loss_fn(p):
+          with jax.named_scope("Gmain_forward"):
             return loss_mod.g_main_loss(
                 p, state.d_params, z_, c_, r, g_cfg=g_cfg, d_cfg=d_cfg,
-                cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser)
+                cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser,
+                ada_p=ada_p)
         return jax.value_and_grad(loss_fn, has_aux=True)(g_params)
 
     grads, stats = _microbatched_grads(grad_fn, state.g_params, (z, gen_c), rng, microbatch)
@@ -182,7 +185,7 @@ def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
 @partial(jax.jit, static_argnames=_STATIC, donate_argnums=(0,))
 def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0,
-              microbatch: int = 1) -> Tuple[TrainState, Dict]:
+              microbatch: int = 1, ada_p=None) -> Tuple[TrainState, Dict]:
     """Histogram and density regularizers backpropagate SEPARATELY and sum
     their gradients (the reference's two .backward() calls within the Greg
     phase, loss.py:307,331) — halves the peak activation memory vs one
@@ -193,10 +196,11 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     stats: Dict = {}
 
     def hist_fn(g_params):
+      with jax.named_scope("Greg_hist_forward"):
         return loss_mod.g_reg_loss(
             g_params, state.d_params, z, gen_c, rng_hist, g_cfg=g_cfg,
             d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static,
-            include_density=False)
+            include_density=False, ada_p=ada_p)
 
     (_, s), grads = jax.value_and_grad(hist_fn, has_aux=True)(state.g_params)
     stats.update(s)
@@ -210,18 +214,28 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
         stats["Loss/G/density_reg"] = dens_loss
         grads = jax.tree.map(jnp.add, grads, dens_grads)
 
+    # Lazy-reg gain: the reference multiplies each phase's loss by
+    # gain = phase.interval before backward (ref training_loop.py:333 +
+    # loss.py `.mul(gain).backward()`), compensating for the phase running
+    # only every interval-th step while sharing Adam state scaling.
+    gain = float(opt_cfg.g_reg_interval or 1)
+    if gain != 1.0:
+        grads = jax.tree.map(lambda g: g * gain, grads)
+
     return _g_apply(state, grads, opt_cfg), stats
 
 
 @partial(jax.jit, static_argnames=_STATIC, donate_argnums=(0,))
 def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
-               d_cfg, loss_cfg, opt_cfg,
-               cur_nimg_static: int = 0, microbatch: int = 1) -> Tuple[TrainState, Dict]:
+               d_cfg, loss_cfg, opt_cfg, cur_nimg_static: int = 0,
+               microbatch: int = 1, ada_p=None) -> Tuple[TrainState, Dict]:
     def grad_fn(d_params, r, real_, rc_, z_, c_):
         def loss_fn(p):
+          with jax.named_scope("Dmain_forward"):
             return loss_mod.d_main_loss(
                 p, state.g_params, z_, c_, real_, rc_, r,
-                g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static)
+                g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static,
+                ada_p=ada_p)
         return jax.value_and_grad(loss_fn, has_aux=True)(d_params)
 
     grads, stats = _microbatched_grads(
@@ -247,16 +261,22 @@ def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
 @partial(jax.jit, static_argnames=_STATIC + ("has_parser",), donate_argnums=(0,))
 def dreg_step(state: TrainState, real_img, real_c, rng, *, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0,
-              g_cfg=None, has_parser=False, microbatch: int = 1) -> Tuple[TrainState, Dict]:
+              g_cfg=None, has_parser=False, microbatch: int = 1,
+              ada_p=None) -> Tuple[TrainState, Dict]:
     def grad_fn(d_params, r, real_, rc_):
         def loss_fn(p):
+          with jax.named_scope("Dr1_forward"):
             return loss_mod.d_reg_loss(
                 p, real_, rc_, r, d_cfg=d_cfg, cfg=loss_cfg,
-                cur_nimg=cur_nimg_static)
+                cur_nimg=cur_nimg_static, ada_p=ada_p)
         return jax.value_and_grad(loss_fn, has_aux=True)(d_params)
 
     grads, stats = _microbatched_grads(
         grad_fn, state.d_params, (real_img, real_c), rng, microbatch)
+    # gain = phase.interval for lazy regularization (ref training_loop.py:333).
+    gain = float(opt_cfg.d_reg_interval or 1)
+    if gain != 1.0:
+        grads = jax.tree.map(lambda g: g * gain, grads)
     return _d_apply(state, grads, opt_cfg), stats
 
 
@@ -276,10 +296,14 @@ def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
                ema_kimg: float = 10.0, ema_rampup: Optional[float] = 0.05,
                cur_nimg_static: int = 0, has_parser: bool = False,
                face_parser_params=None, microbatch: int = 1,
+               ada_p=None,
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One full optimization iteration = the due phases in the reference's
     order (Gmain, Greg, Dmain, Dreg — training_loop.py:250-262), each its own
-    jitted program with its own optimizer step, then the EMA lerp."""
+    jitted program with its own optimizer step, then the EMA lerp.
+
+    ada_p: optional traced scalar ADA strength (jnp.float32); None disables
+    augmentation entirely (the ref's augment_pipe=None)."""
     rngs = jax.random.split(rng, 4)
     stats: Dict[str, jax.Array] = {}
 
@@ -287,23 +311,23 @@ def train_step(state: TrainState, real_img, real_c, z, gen_c, rng, *,
                           loss_cfg=loss_cfg, opt_cfg=opt_cfg,
                           cur_nimg_static=cur_nimg_static, has_parser=has_parser,
                           face_parser_params=face_parser_params,
-                          microbatch=microbatch)
+                          microbatch=microbatch, ada_p=ada_p)
     stats.update(s)
     if do_greg:
         state, s = greg_step(state, z, gen_c, rngs[1], g_cfg=g_cfg, d_cfg=d_cfg,
                              loss_cfg=loss_cfg, opt_cfg=opt_cfg,
-                             cur_nimg_static=cur_nimg_static)
+                             cur_nimg_static=cur_nimg_static, ada_p=ada_p)
         stats.update(s)
     state, s = dmain_step(state, real_img, real_c, z, gen_c, rngs[2],
                           g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg,
                           opt_cfg=opt_cfg, cur_nimg_static=cur_nimg_static,
-                          microbatch=microbatch)
+                          microbatch=microbatch, ada_p=ada_p)
     stats.update(s)
     if do_dreg:
         state, s = dreg_step(state, real_img, real_c, rngs[3], d_cfg=d_cfg,
                              loss_cfg=loss_cfg, opt_cfg=opt_cfg,
                              cur_nimg_static=cur_nimg_static,
-                             microbatch=microbatch)
+                             microbatch=microbatch, ada_p=ada_p)
         stats.update(s)
     state = ema_step(state, batch_size=batch_size, ema_kimg=ema_kimg,
                      ema_rampup=ema_rampup)
