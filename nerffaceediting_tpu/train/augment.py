@@ -10,19 +10,21 @@ from D's real-logit sign, ref training_loop.py:372-375):
   geometric: xflip, 90° rotations, integer translation, isotropic scaling,
              arbitrary rotation, anisotropic stretch, fractional translation
   color:     brightness, contrast, luma flip, hue rotation, saturation
-
-The image-space filter/noise/cutout corruptions of the reference are
-lower-value for EG3D training and omitted this round (tracked in the
-component inventory)."""
+  image:     frequency-band filtering, additive RGB noise, cutout
+             (ref augment.py:379-441; all default-off, matching the ref
+             'bgc'-style spec used by --aug ada, ref train.py:365)."""
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops import resize_bilinear
 from ..ops.grid_sample import grid_sample_2d
@@ -53,6 +55,37 @@ class AugmentConfig:
     contrast_std: float = 0.5
     hue_max: float = 1.0
     saturation_std: float = 1.0
+    # Image-space corruption groups (ref augment.py:162-172 defaults).
+    imgfilter: float = 0.0
+    imgfilter_bands: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    imgfilter_std: float = 1.0
+    noise: float = 0.0
+    cutout: float = 0.0
+    noise_std: float = 0.1
+    cutout_size: float = 0.5
+
+
+# sym2 wavelet lowpass — the filter-bank seed (ref augment.py:38).
+_SYM2 = (-0.12940952255092145, 0.22414386804185735,
+         0.836516303737469, 0.48296291314469025)
+
+
+def _imgfilter_bank() -> np.ndarray:
+    """4-band frequency decomposition filter bank (ref augment.py:176-187):
+    band 0 is the identity lowpass; bands 1..3 add the highpass residue of
+    successively dilated sym2 half-band pairs."""
+    lo = np.asarray(_SYM2)
+    hi = lo * ((-1.0) ** np.arange(lo.size))
+    lo2 = np.convolve(lo, lo[::-1]) / 2       # H(z)·H(z⁻¹)/2
+    hi2 = np.convolve(hi, hi[::-1]) / 2       # H(−z)·H(−z⁻¹)/2
+    bank = np.eye(4, 1)
+    for i in range(1, bank.shape[0]):
+        # zero-interleave (á-trous dilation), then lowpass
+        bank = np.dstack([bank, np.zeros_like(bank)]).reshape(bank.shape[0], -1)[:, :-1]
+        bank = np.stack([np.convolve(row, lo2) for row in bank])
+        lo_idx = (bank.shape[1] - hi2.size) // 2
+        bank[i, lo_idx:lo_idx + hi2.size] += hi2
+    return bank
 
 
 def _rot2d(theta):
@@ -193,7 +226,65 @@ def augment_pipe(rng: jax.Array, images: jax.Array, p: float,
     rem = C - (C // 3) * 3
     if rem:
         out.append(images[:, -rem:])
-    return jnp.concatenate(out, axis=1)
+    images = jnp.concatenate(out, axis=1)
+
+    # ---- image-space filtering: per-sample 4-band gain (ref augment.py:383-412)
+    if cfg.imgfilter > 0:
+        fbank = jnp.asarray(_imgfilter_bank(), jnp.float32)  # (4, taps)
+        expected_power = jnp.asarray([10.0, 1.0, 1.0, 1.0]) / 13.0
+        gains = jnp.ones((B, 4))
+        k = jax.random.fold_in(rngs[15], 8)
+        for i, band_strength in enumerate(cfg.imgfilter_bands):
+            k, k_t, k_gate = jax.random.split(k, 3)
+            t_i = jnp.exp2(jax.random.normal(k_t, (B,)) * cfg.imgfilter_std)
+            gate = (jax.random.uniform(k_gate, (B,))
+                    < cfg.imgfilter * p * band_strength)
+            t_i = jnp.where(gate, t_i, 1.0)
+            t = jnp.ones((B, 4)).at[:, i].set(t_i)
+            t = t / jnp.sqrt(jnp.sum(expected_power * jnp.square(t), -1,
+                                     keepdims=True))
+            gains = gains * t
+        hz = gains @ fbank                                # (B, taps)
+        taps = fbank.shape[1]
+        pd = taps // 2
+        hz = jnp.repeat(hz, C, axis=0).astype(images.dtype)  # (B·C, taps)
+        x = images.reshape(1, B * C, H, W)
+        x = jnp.pad(x, ((0, 0), (0, 0), (pd, pd), (pd, pd)), mode="reflect")
+        # separable depthwise conv, per-(sample, channel) kernel
+        x = lax.conv_general_dilated(
+            x, hz.reshape(B * C, 1, 1, taps), (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=B * C)
+        x = lax.conv_general_dilated(
+            x, hz.reshape(B * C, 1, taps, 1), (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=B * C)
+        images = x.reshape(B, C, H, W)
+
+    # ---- additive RGB noise (ref augment.py:420-425)
+    if cfg.noise > 0:
+        k_s, k_gate, k_n = jax.random.split(jax.random.fold_in(rngs[15], 9), 3)
+        sigma = jnp.abs(jax.random.normal(k_s, (B,))) * cfg.noise_std
+        sigma = jnp.where(jax.random.uniform(k_gate, (B,)) < cfg.noise * p,
+                          sigma, 0.0).reshape(B, 1, 1, 1)
+        images = images + jax.random.normal(k_n, images.shape,
+                                            images.dtype) * sigma
+
+    # ---- cutout (ref augment.py:427-441)
+    if cfg.cutout > 0:
+        k_gate, k_c = jax.random.split(jax.random.fold_in(rngs[15], 10))
+        size = jnp.where(
+            jax.random.uniform(k_gate, (B, 1, 1, 1)) < cfg.cutout * p,
+            cfg.cutout_size, 0.0)
+        center = jax.random.uniform(k_c, (B, 2, 1, 1))
+        coord_x = ((jnp.arange(W) + 0.5) / W).reshape(1, 1, 1, W)
+        coord_y = ((jnp.arange(H) + 0.5) / H).reshape(1, 1, H, 1)
+        mask_x = jnp.abs(coord_x - center[:, 0:1, :, :]) >= size / 2
+        mask_y = jnp.abs(coord_y - center[:, 1:2, :, :]) >= size / 2
+        mask = jnp.logical_or(mask_x, mask_y).astype(images.dtype)
+        images = images * mask
+
+    return images
 
 
 class AdaController:
@@ -208,5 +299,6 @@ class AdaController:
 
     def update(self, real_sign_mean: float, n_img: int) -> float:
         adjust = math.copysign(1.0, real_sign_mean - self.target)
-        self.p = min(max(self.p + adjust * n_img / (self.speed_kimg * 1000), 0.0), 1.0)
+        # ref clamps below at 0 only (training_loop.py:375).
+        self.p = max(self.p + adjust * n_img / (self.speed_kimg * 1000), 0.0)
         return self.p

@@ -55,6 +55,47 @@ class TestAugmentPipe:
             ctl.update(real_sign_mean=0.0, n_img=100)  # weak D → p down
         assert ctl.p == 0.0
 
+    def test_imgfilter_band0_near_identity(self):
+        """Band 0 is the lowpass identity: amplifying it only rescales power,
+        so with imgfilter on but all draws gated off (p tiny), output ≈ input;
+        with p=1 the filtered image differs but stays finite and same-shape
+        (ref augment.py:383-412)."""
+        cfg = AugmentConfig(xflip=0, rotate90=0, xint=0, scale=0, rotate=0,
+                            aniso=0, xfrac=0, brightness=0, contrast=0,
+                            lumaflip=0, hue=0, saturation=0, imgfilter=1.0)
+        rng = np.random.default_rng(5)
+        imgs = jnp.asarray(rng.uniform(-1, 1, (2, 3, 16, 16)).astype(np.float32))
+        out0 = augment_pipe(jax.random.key(4), imgs, p=0.0, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(imgs), atol=1e-4)
+        out1 = augment_pipe(jax.random.key(4), imgs, p=1.0, cfg=cfg)
+        assert out1.shape == imgs.shape
+        assert np.all(np.isfinite(np.asarray(out1)))
+        assert np.abs(np.asarray(out1) - np.asarray(imgs)).max() > 1e-3
+
+    def test_noise_and_cutout(self):
+        cfg = AugmentConfig(xflip=0, rotate90=0, xint=0, scale=0, rotate=0,
+                            aniso=0, xfrac=0, brightness=0, contrast=0,
+                            lumaflip=0, hue=0, saturation=0,
+                            noise=1.0, cutout=1.0)
+        imgs = jnp.ones((2, 3, 32, 32), jnp.float32) * 0.5
+        out = augment_pipe(jax.random.key(7), imgs, p=1.0, cfg=cfg)
+        a = np.asarray(out)
+        assert a.shape == imgs.shape
+        # cutout zeroes a ~16×16 rectangle (0.5 of each dim)
+        zero_frac = np.mean(np.all(np.abs(a) < 1e-6, axis=1))
+        assert 0.0 < zero_frac < 0.6
+        # additive noise perturbs the remaining pixels
+        assert np.abs(a - 0.5).max() > 0.01
+
+    def test_traced_p_does_not_recompile(self):
+        """p is traced: two different strengths reuse one compiled program."""
+        compiled = jax.jit(lambda k, x, p: augment_pipe(k, x, p))
+        imgs = jnp.zeros((1, 3, 8, 8))
+        compiled(jax.random.key(0), imgs, jnp.asarray(0.3))
+        n0 = compiled._cache_size()
+        compiled(jax.random.key(0), imgs, jnp.asarray(0.7))
+        assert compiled._cache_size() == n0
+
 
 class TestDiscriminatorVariants:
     def test_single_and_dummy(self):
