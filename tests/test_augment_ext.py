@@ -163,3 +163,109 @@ class TestTrainCLI:
         run_dirs = os.listdir(tmp_path)
         assert len(run_dirs) == 1
         assert os.path.exists(os.path.join(tmp_path, run_dirs[0], "training_options.json"))
+
+
+class TestFreezeD:
+    def test_mask_ordering_and_step(self):
+        """freeze_d_mask freezes fromrgb→conv0→conv1 from the top block
+        (ref networks_stylegan2.py:585-592), and a dreg step leaves frozen
+        params untouched."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from nerffaceediting_tpu.models.discriminator import (
+            freeze_d_mask, init_dual_discriminator)
+
+        cfg = DiscriminatorConfig(img_resolution=32, channel_base=512,
+                                  channel_max=32, mbstd_group_size=2,
+                                  freezed=4)
+        params = init_dual_discriminator(jax.random.key(0), cfg)
+        mask = freeze_d_mask(params, cfg)
+        # top block (b32): fromrgb, conv0, conv1 frozen (3) + b16 conv0 (1)
+        assert not mask["b32"]["fromrgb"]["weight"]
+        assert not mask["b32"]["conv0"]["weight"]
+        assert not mask["b32"]["conv1"]["weight"]
+        assert not mask["b16"]["conv0"]["weight"]
+        assert mask["b16"]["conv1"]["weight"]
+        assert mask["b4"]["fc"]["weight"]
+
+        from nerffaceediting_tpu.models import triplane
+        from nerffaceediting_tpu.train.loss import LossConfig
+        from nerffaceediting_tpu.train.step import (
+            OptimizerConfig, dreg_step, init_train_state)
+        from tests.test_train import tiny_setup
+
+        g_cfg, d_cfg = tiny_setup()
+        d_cfg = dataclasses.replace(d_cfg, freezed=3)
+        g_params = triplane.init_generator(jax.random.key(1), g_cfg)
+        state = init_train_state(g_params, init_dual_discriminator(
+            jax.random.key(2), d_cfg), OptimizerConfig())
+        top = f"b{d_cfg.img_resolution}"
+        before = np.asarray(state.d_params[top]["conv0"]["weight"]).copy()
+        before_free = np.asarray(state.d_params["b8"]["conv1"]["weight"]).copy()
+
+        real = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (4, 3, d_cfg.img_resolution, d_cfg.img_resolution)).astype(np.float32))
+        # nonzero camera labels: c=0 nulls the cmap head (embed biases init
+        # to 0, as in the reference) and with it every gradient
+        c = jnp.asarray(np.random.default_rng(1).normal(
+            size=(4, 25)).astype(np.float32))
+        state, _ = dreg_step(state, real, c, jax.random.key(3), d_cfg=d_cfg,
+                             loss_cfg=LossConfig(), opt_cfg=OptimizerConfig())
+        np.testing.assert_array_equal(
+            np.asarray(state.d_params[top]["conv0"]["weight"]), before)
+        assert np.abs(np.asarray(
+            state.d_params["b8"]["conv1"]["weight"]) - before_free).max() > 0
+
+
+class TestDatasetToolSources:
+    def test_cifar10(self, tmp_path):
+        """Synthetic cifar-10-python.tar.gz → zip with class labels
+        (ref dataset_tool.py open_cifar10)."""
+        import pickle
+        import tarfile
+
+        rng = np.random.default_rng(0)
+        src = str(tmp_path / "cifar-10-python.tar.gz")
+        with tarfile.open(src, "w:gz") as tar:
+            for b in range(1, 6):
+                data = {
+                    "data": rng.integers(0, 255, (2, 3072), dtype=np.uint8),
+                    "labels": [int(b % 10), int((b + 1) % 10)],
+                }
+                buf = pickle.dumps(data)
+                info = tarfile.TarInfo(f"cifar-10-batches-py/data_batch_{b}")
+                info.size = len(buf)
+                import io as _io
+                tar.addfile(info, _io.BytesIO(buf))
+
+        from nerffaceediting_tpu.apps.dataset_tool import convert
+        dest = str(tmp_path / "cifar.zip")
+        n = convert(src, dest, resolution=32)
+        assert n == 10
+        with zipfile.ZipFile(dest) as z:
+            labels = json.loads(z.read("dataset.json"))["labels"]
+            assert len(labels) == 10
+
+    def test_mnist(self, tmp_path):
+        """Synthetic idx-format MNIST (ref dataset_tool.py open_mnist)."""
+        import gzip
+
+        rng = np.random.default_rng(1)
+        imgs = rng.integers(0, 255, (3, 28, 28), dtype=np.uint8)
+        labs = np.asarray([1, 2, 3], np.uint8)
+        src = str(tmp_path / "train-images-idx3-ubyte.gz")
+        with gzip.open(src, "wb") as f:
+            f.write(b"\x00" * 16 + imgs.tobytes())
+        with gzip.open(str(tmp_path / "train-labels-idx1-ubyte.gz"), "wb") as f:
+            f.write(b"\x00" * 8 + labs.tobytes())
+
+        from nerffaceediting_tpu.apps.dataset_tool import convert
+        dest = str(tmp_path / "mnist.zip")
+        n = convert(src, dest)
+        assert n == 3
+        with zipfile.ZipFile(dest) as z:
+            assert len([f for f in z.namelist() if f.endswith(".png")]) == 3
+            labels = json.loads(z.read("dataset.json"))["labels"]
+            assert [l for _, l in labels] == [1, 2, 3]
