@@ -20,6 +20,32 @@ from typing import Optional
 import jax
 
 
+def maybe_init_distributed() -> int:
+    """Multi-host bring-up (SURVEY §2.5: the TPU-native replacement for the
+    reference's torch.multiprocessing.spawn + NCCL init, ref train.py:32-103).
+
+    One JAX process per host; DCN rendezvous via jax.distributed.initialize.
+    Triggered by the standard env vars (JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID, or cloud-TPU auto-detection when
+    NFE_MULTIHOST=1). Single-host runs skip it entirely. Returns process_id
+    (0 on single host)."""
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    auto = os.environ.get("NFE_MULTIHOST") == "1"
+    if not coord and not auto:
+        return 0
+    kwargs = {}
+    if coord:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
+    print(f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+          f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+    return jax.process_index()
+
+
 def make_run_dir(outdir: str, desc: str) -> str:
     """Auto-numbered run dirs (ref train.py:60-67)."""
     os.makedirs(outdir, exist_ok=True)
@@ -72,6 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target", type=float, default=0.6,
                    help="ADA sign target for --aug ada (ref train.py:148)")
     p.add_argument("--disc-c-noise", type=float, default=0.0)
+    p.add_argument("--freezed", type=int, default=0,
+                   help="freeze first N D layers for transfer learning")
     p.add_argument("--face-parser", default=None,
                    help="path to 79999_iter.pth for the seg loss")
     p.add_argument("--resume", default=None, help="orbax checkpoint to resume")
@@ -121,7 +149,7 @@ def configs_from_args(args):
     )
     d_cfg = DiscriminatorConfig(
         channel_base=args.cbase, channel_max=args.cmax,
-        disc_c_noise=args.disc_c_noise,
+        disc_c_noise=args.disc_c_noise, freezed=args.freezed,
     )
     loss_cfg = LossConfig(
         r1_gamma=args.gamma,
@@ -145,6 +173,7 @@ def configs_from_args(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    maybe_init_distributed()
     g_cfg, d_cfg, loss_cfg, opt_cfg = configs_from_args(args)
 
     desc = f"{args.cfg}-b{args.batch}-gamma{args.gamma}"

@@ -190,9 +190,14 @@ class RenderSession:
         }
 
 
-def serve(session: RenderSession, port: int = 8000):
+def serve(session: RenderSession, port: int = 8000, host: str = "127.0.0.1"):
     """Minimal HTTP endpoint: GET /render?yaw=..&pitch=..&seed=..&type=rgb →
-    PNG. The remote-UI analog of the reference's async render process."""
+    PNG. The remote-UI analog of the reference's async render process.
+
+    DEBUG TOOL ONLY: no authentication, and each GET mutates the shared
+    session state — do not expose beyond localhost (default bind) or to
+    untrusted users; front it with an authenticating proxy for anything
+    more than single-user local inspection."""
     import io
     from http.server import BaseHTTPRequestHandler, HTTPServer
     from urllib.parse import parse_qs, urlparse
@@ -218,7 +223,7 @@ def serve(session: RenderSession, port: int = 8000):
         def log_message(self, *a):
             pass
 
-    HTTPServer(("127.0.0.1", port), Handler).serve_forever()
+    HTTPServer((host, port), Handler).serve_forever()
 
 
 if __name__ == "__main__":

@@ -102,6 +102,9 @@ class DiscriminatorConfig:
     disc_c_noise: float = 0.0
     mbstd_group_size: int = 4
     mbstd_num_channels: int = 1
+    # Freeze-D transfer learning: freeze the first N conv layers counted
+    # from the top resolution (ref networks_stylegan2.py:585-592, --freezed).
+    freezed: int = 0
 
 
 def ffhq_rendering_config(**overrides) -> RenderingConfig:

@@ -224,3 +224,26 @@ def dual_discriminator(params, img_sr, img_raw, c, cfg: DiscriminatorConfig, *,
         params["b4"], x, cmap, mbstd_group_size=cfg.mbstd_group_size,
         mbstd_num_channels=cfg.mbstd_num_channels, conv_clamp=cfg.conv_clamp,
     )
+
+
+def freeze_d_mask(d_params: Dict, cfg: DiscriminatorConfig) -> Dict:
+    """Freeze-D (ref networks_stylegan2.py:585-592, --freezed): a boolean
+    pytree matching d_params with False on the first cfg.freezed conv layers
+    counted from the top-resolution block downwards (fromrgb → conv0 → conv1
+    per block, matching the reference's first_layer_idx ordering). The
+    optimizer step zeroes gradients where the mask is False."""
+    mask = jax.tree.map(lambda _: True, d_params)
+    if cfg.freezed <= 0:
+        return mask
+    layer_idx = 0
+    res = cfg.img_resolution
+    while res > 4:
+        block = d_params.get(f"b{res}", {})
+        for layer in ("fromrgb", "conv0", "conv1"):
+            if layer in block:
+                if layer_idx < cfg.freezed:
+                    mask[f"b{res}"][layer] = jax.tree.map(
+                        lambda _: False, block[layer])
+                layer_idx += 1
+        res //= 2
+    return mask

@@ -126,6 +126,30 @@ class TestGenSamplesApp:
         assert any(f.startswith("seed0000") for f in files)
 
 
+class TestGenVideosApp:
+    def test_grid_nrr_shapes(self, tmp_path):
+        """2×1 grid layout + --nrr override + per-frame shape dumps
+        (ref gen_videos.py:116,158-196,309)."""
+        cfg = tiny_config()
+        params = triplane.init_generator(jax.random.key(0), cfg)
+        from nerffaceediting_tpu.apps.gen_videos import render_video
+
+        out = str(tmp_path / "vid.mp4")
+        render_video(params, cfg, seeds=[0, 1], out_path=out,
+                     frames_per_key=2, sampling_multiplier=1.0,
+                     grid_dims=(2, 1), nrr=8, gen_shapes=True,
+                     shape_resolution=16, shape_format="npy", fps=4)
+        files = os.listdir(tmp_path)
+        assert any(f.startswith("vid") and f.endswith((".mp4", ".npz"))
+                   for f in files)
+        assert os.path.exists(str(tmp_path / "vid_trajectory.npy"))
+        shape_files = os.listdir(tmp_path / "vid_shapes")
+        assert "0000_shape.npy" in shape_files
+        # grid frame is 2 cells wide
+        traj = np.load(str(tmp_path / "vid_trajectory.npy"))
+        assert traj.shape == (2, 4, 4)
+
+
 class TestUtils:
     def test_infinite_sampler_sharding(self):
         n = 20
