@@ -21,6 +21,10 @@ def main(argv=None):
     p.add_argument("--num-gen", type=int, default=50000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--inception", default=None, help="local detector weights")
+    p.add_argument("--detector", default="auto", choices=["auto", "jax", "torch"],
+                   help="jax: torch-free InceptionV3 (metrics/inception_jax.py, "
+                        "weights via $NFE_INCEPTION_WEIGHTS); torch: "
+                        "torchscript/torchvision; auto prefers jax")
     p.add_argument("--cache-dir", default=".metric-cache")
     p.add_argument("--run-dir", default=None)
     args = p.parse_args(argv)
@@ -36,7 +40,17 @@ def main(argv=None):
     if "g_ema" in params:
         params = params["g_ema"]
     dataset = ImageFolderDataset(args.data, resolution=cfg.img_resolution)
-    feature_fn = inception_features_fn(args.inception)
+    feature_fn = None
+    if args.detector in ("auto", "jax"):
+        try:
+            from ..metrics.inception_jax import inception_features_fn_jax
+
+            feature_fn = inception_features_fn_jax()
+        except RuntimeError:
+            if args.detector == "jax":
+                raise
+    if feature_fn is None:
+        feature_fn = inception_features_fn(args.inception)
 
     for metric in args.metrics.split(","):
         result = calc_metric(

@@ -36,6 +36,14 @@ from ..ops import resize_bilinear
 FeatureFn = Callable[[jax.Array], jax.Array]  # (B,3,H,W) in [0,255] → features
 
 
+def _default_feature_fn() -> "FeatureFn":
+    """LPIPS-grade VGG16 features when weights exist, multiscale fallback
+    otherwise (ref projector.py:43-46 downloads vgg16-lpips by default)."""
+    from ..io.vgg import load_default_feature_fn
+
+    return load_default_feature_fn() or multiscale_l2_features
+
+
 def multiscale_l2_features(img: jax.Array) -> jax.Array:
     """Fallback perceptual proxy: concatenated multi-scale pixels (used when
     no VGG16 weights are present; swap in vgg16_features for fidelity)."""
@@ -111,12 +119,16 @@ def _normalize_noise(noise_maps):
 
 def project(params, target_image: jax.Array, c: jax.Array, cfg: GeneratorConfig,
             pcfg: ProjectorConfig = ProjectorConfig(),
-            feature_fn: FeatureFn = multiscale_l2_features,
+            feature_fn: Optional[FeatureFn] = None,
             rng: Optional[jax.Array] = None, verbose: bool = False):
     """Phase-1 W-space inversion. target_image (1,3,R,R) in (−1,1).
 
-    Returns (w_opt (1, num_ws, w_dim), history dict)."""
+    feature_fn defaults to LPIPS-grade VGG16 features when weights are
+    available ($NFE_VGG16_WEIGHTS, io/vgg.load_default_feature_fn), else the
+    multiscale pixel fallback. Returns (w_opt, history dict)."""
     from ..models.stylegan2 import num_synthesis_ws
+
+    feature_fn = feature_fn or _default_feature_fn()
 
     rng = jax.random.key(0) if rng is None else rng
     rng_stats, rng_noise = jax.random.split(rng)
@@ -193,10 +205,11 @@ def project(params, target_image: jax.Array, c: jax.Array, cfg: GeneratorConfig,
 
 def pivotal_tuning(params, ws, target_image: jax.Array, c: jax.Array,
                    cfg: GeneratorConfig, pcfg: ProjectorConfig = ProjectorConfig(),
-                   feature_fn: FeatureFn = multiscale_l2_features,
+                   feature_fn: Optional[FeatureFn] = None,
                    verbose: bool = False):
     """Phase-2: optimize all generator params at the pivot ws
     (ref projector.py:184-203, L1 + LPIPS)."""
+    feature_fn = feature_fn or _default_feature_fn()
     target01 = (jnp.clip(target_image, -1, 1) + 1) / 2
     target_feats = feature_fn(target01 * 255.0)
 

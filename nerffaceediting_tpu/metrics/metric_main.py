@@ -262,6 +262,33 @@ def fid(params=None, cfg=None, dataset=None, feature_fn=None, num_real=50000,
 
 
 @register_metric
+def fid_clip(params=None, cfg=None, dataset=None, clip_params=None,
+             num_real=50000, num_gen=50000, batch=8, cache_dir=None, **kw):
+    """FID over CLIP ViT-B/32 image features (ref metric_utils.py:45-63 clip
+    branch + frechet_inception_distance.py:45 fid50k_clip) — fully JAX-side
+    via metrics/clip_jax.py; clip_params defaults to converted weights at
+    $NFE_CLIP_WEIGHTS (a transformers CLIPVisionModel state_dict)."""
+    from .clip_jax import clip_features_fn, convert_clip_state_dict
+
+    if clip_params is None:
+        path = os.environ.get("NFE_CLIP_WEIGHTS")
+        if not path or not os.path.exists(path):
+            raise RuntimeError(
+                "fid_clip needs clip_params or $NFE_CLIP_WEIGHTS "
+                "(transformers CLIPVisionModel state_dict)")
+        import torch
+
+        clip_params = convert_clip_state_dict(torch.load(path, map_location="cpu"))
+    fn = clip_features_fn(clip_params)
+    real = compute_feature_stats_for_dataset(
+        dataset, fn, num_real, cache_dir=cache_dir, cache_tag="fidclip-real")
+    gen = compute_feature_stats_for_generator(params, cfg, fn, num_gen, batch)
+    mu_r, cov_r = real.get_mean_cov()
+    mu_g, cov_g = gen.get_mean_cov()
+    return {"fid_clip": frechet_distance(mu_g, cov_g, mu_r, cov_r)}
+
+
+@register_metric
 def kid(params=None, cfg=None, dataset=None, feature_fn=None, num_real=50000,
         num_gen=50000, batch=8, **kw):
     real = compute_feature_stats_for_dataset(dataset, feature_fn, num_real,

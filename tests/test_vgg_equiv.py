@@ -61,3 +61,71 @@ class TestVGG16:
         img = jax.random.uniform(jax.random.key(1), (1, 3, 32, 32), maxval=255.0)
         g = jax.grad(lambda x: jnp.sum(jnp.square(fn(x))))(img)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestLPIPSFeatures:
+    """LPIPS-grade spatial features (VERDICT r1 #7)."""
+
+    def test_sumsq_equals_lpips_formula(self):
+        """sum-squared diff of lpips_features == Σ_l mean_hw Σ_c w_c d²."""
+        from nerffaceediting_tpu.io.vgg import lpips_features, vgg16_feature_maps
+
+        params = init_vgg16(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(0, 255, (1, 3, 32, 32)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0, 255, (1, 3, 32, 32)).astype(np.float32))
+
+        fa, fb = lpips_features(params, a), lpips_features(params, b)
+        got = float(jnp.sum(jnp.square(fa - fb)))
+
+        want = 0.0
+        for ma, mb in zip(vgg16_feature_maps(params, a), vgg16_feature_maps(params, b)):
+            na = ma / jnp.sqrt(jnp.sum(jnp.square(ma), 1, keepdims=True) + 1e-10)
+            nb = mb / jnp.sqrt(jnp.sum(jnp.square(mb), 1, keepdims=True) + 1e-10)
+            want += float(jnp.mean(jnp.sum(jnp.square(na - nb), axis=1)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_lin_weights_scale_layers(self):
+        from nerffaceediting_tpu.io.vgg import lpips_features
+
+        params = init_vgg16(jax.random.key(0))
+        img = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 255, (1, 3, 32, 32)).astype(np.float32))
+        lin = {f"lin{l}": jnp.full((c,), 0.25) for l, c in
+               enumerate([64, 128, 256, 512, 512])}
+        f1 = lpips_features(params, img)
+        f2 = lpips_features(params, img, lin=lin)
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1) * 0.5,
+                                   rtol=1e-5)
+
+    def test_spatial_features_localize_gradients(self):
+        """The inversion-relevant property the pooled embedding lacks: the
+        LPIPS distance gradient concentrates at the perturbed region."""
+        from nerffaceediting_tpu.io.vgg import lpips_features
+
+        params = init_vgg16(jax.random.key(0))
+        rng = np.random.default_rng(2)
+        base = rng.uniform(0, 255, (1, 3, 64, 64)).astype(np.float32)
+        pert = base.copy()
+        pert[:, :, 8:24, 8:24] += 60.0  # corrupt a 16×16 patch
+        target = lpips_features(params, jnp.asarray(base))
+
+        def dist(img):
+            return jnp.sum(jnp.square(lpips_features(params, img) - target))
+
+        def localization(feat_fn):
+            tgt = feat_fn(jnp.asarray(base))
+            d = lambda img: jnp.sum(jnp.square(feat_fn(img) - tgt))
+            g = np.abs(np.asarray(jax.grad(d)(jnp.asarray(pert))))
+            # patch + conv halo (deep layers blur locality)
+            return g[:, :, 0:40, 0:40].sum() / g.sum()
+
+        from nerffaceediting_tpu.io.vgg import vgg16_features
+
+        loc_spatial = localization(lambda im: lpips_features(params, im))
+        loc_pooled = localization(lambda im: vgg16_features(params, im))
+        # patch+halo covers 39% of the area; spatial features concentrate
+        # the error gradient there measurably better than the pooled ones
+        assert loc_spatial > 0.5, f"not localized: {loc_spatial:.2f}"
+        assert loc_spatial > loc_pooled + 0.05, (
+            f"spatial {loc_spatial:.2f} vs pooled {loc_pooled:.2f}")
