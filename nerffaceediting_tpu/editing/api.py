@@ -117,3 +117,53 @@ def get_camera_samples(cfg: GeneratorConfig, fov_deg: float = 18.837):
             pose = lookat_pose(pitch, yaw, pivot, radius=radius)
             cams.append(camera_params(pose, intrinsics))
     return cams
+
+
+def decode_frames(params, ws, cams, norm_planes, denorm_planes,
+                  cfg: GeneratorConfig, *,
+                  plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
+                  neural_rendering_resolution: Optional[int] = None,
+                  coherent: Optional[bool] = None,
+                  sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Render MANY cameras against ONE identity's planes as a single fused
+    device program — the serving-path orbit renderer (bench.py workload;
+    ref gen_videos.py renders the same trajectory frame by frame).
+
+    All F frames' rays flatten into the ray axis of one render (planes are
+    NOT replicated; the windowed kernel tiles stay frame-coherent via
+    ray_grid=(F·res, res)), then frames split back for a batched SR pass.
+    Removes per-frame dispatch overhead and feeds every stage F× larger
+    batches. cams: (F, 25); ws: (1, num_ws, w_dim). Returns per-frame
+    {image (F,3,512,512), image_raw, image_seg, image_depth}.
+    """
+    from ..models.superresolution import superresolution
+    from ..models.triplane import _decoder_fn
+    from ..render.ray_sampler import sample_rays
+    from ..render.renderer import render_rays
+
+    F = cams.shape[0]
+    res = neural_rendering_resolution or cfg.neural_rendering_resolution
+    cam2world = cams[:, :16].reshape(-1, 4, 4)
+    intrinsics = cams[:, 16:25].reshape(-1, 3, 3)
+    ray_o, ray_d = sample_rays(cam2world, intrinsics, res)  # (F, R, 3)
+    R = ray_o.shape[1]
+    feats, segs, depths, _ = render_rays(
+        _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
+        ray_o.reshape(1, F * R, 3), ray_d.reshape(1, F * R, 3),
+        cfg.rendering, rng=None, plane_stats=plane_stats,
+        ray_grid=(F * res, res), coherent=coherent)
+
+    feature_image = feats.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
+    seg_image = segs.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
+    depth_image = depths.reshape(F, res, res, 1).transpose(0, 3, 1, 2)
+    rgb_image = feature_image[:, :3]
+
+    ws_sr = jnp.broadcast_to(ws, (F,) + ws.shape[1:])
+    sr_image = superresolution(
+        params["superresolution"], rgb_image, feature_image, ws_sr,
+        variant=cfg.rendering.superresolution_module,
+        sr_antialias=cfg.rendering.sr_antialias,
+        noise_mode=cfg.rendering.superresolution_noise_mode,
+        rng=None, dtype=sr_dtype)
+    return {"image": sr_image, "image_seg": seg_image,
+            "image_raw": rgb_image, "image_depth": depth_image}

@@ -145,6 +145,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
                   noise_mode: str = "const",
                   rng: Optional[jax.Array] = None,
                   plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
+                  coherent: Optional[bool] = None,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Planes + camera → frame dict. This is the editing decode()
     (ref utils.py:165-199) and the second half of synthesis().
@@ -161,7 +162,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
     feats, segs, depths, _ = render_rays(
         _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
         ray_origins, ray_dirs, cfg.rendering, rng=rng_render,
-        plane_stats=plane_stats,
+        plane_stats=plane_stats, coherent=coherent,
     )
 
     B = feats.shape[0]

@@ -136,8 +136,13 @@ def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 precision=get_precision(),
             ))
-    st = jnp.stack(phases).reshape(2, 2, B, O, qy, qx)
-    out = st.transpose(2, 3, 4, 0, 5, 1).reshape(B, O, 2 * qy, 2 * qx)
+    # Interleave phases via a CHANNEL concat + one depth-to-space relayout:
+    # jnp.stack on a new leading axis lowered to 4 full-size pads (~530 MB
+    # of HBM traffic at 512², HLO-profiled); concatenating along the
+    # existing channel axis is a plain contiguous copy.
+    cat = jnp.concatenate(phases, axis=1)                 # (B, 4·O, qy, qx)
+    st = cat.reshape(B, 2, 2, O, qy, qx)
+    out = st.transpose(0, 3, 4, 1, 5, 2).reshape(B, O, 2 * qy, 2 * qx)
     return out[:, :, :Ly, :Lx]
 
 

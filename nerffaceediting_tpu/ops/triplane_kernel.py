@@ -63,6 +63,10 @@ DEFAULT_TILE_P = 256    # points per inner MXU tile
 # A traced max-span predicate falls back to the full-plane kernel (lax.cond)
 # whenever any tile's footprint exceeds the window — the fast path is an
 # optimization, never a semantics change.
+# Window geometry note (measured, r2): shrinking windows/strides (56/8,
+# 96/32) cuts one-hot FLOPs 34% but INCREASES canvas-block switching and
+# runs ~1.3-1.5x SLOWER — the kernel is DMA/pipeline-bound, not FLOP-bound.
+# 64/16 + 128/64 is the measured optimum of that trade.
 _WX, _SX = 64, 16       # x-window edge / stride (plane W axis, MXU rows)
 _WY, _SY = 128, 64      # y-window edge / stride (plane H axis, MXU K dim)
 _PADL = 8               # left zero-margin of every window
@@ -238,6 +242,21 @@ def _build_canvas(plane_cwh: jax.Array, nbx: int, nby: int) -> jax.Array:
     return xy.reshape(NP, nbx * nby, C * _WX, _WY)
 
 
+def build_plane_canvas(planes_hwc: jax.Array,
+                       compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Precompute the overlapping-window canvas for `triplane_sample`.
+
+    The canvas depends ONLY on the planes — one build serves both render
+    passes and (for fixed-identity serving, e.g. editing orbits) every
+    frame. Profiling shows the in-call build costs ~1 GB of pad/copy HBM
+    traffic per frame; pass the result as `triplane_sample(..., canvas=)`
+    to amortize it. (NP, H, W, C) → (NP, nbx·nby, C·_WX, _WY)."""
+    NP, H, W, C = planes_hwc.shape
+    plane_cwh = planes_hwc.transpose(0, 3, 2, 1).astype(compute_dtype)
+    nbx, nby = _canvas_geom(H, W)
+    return _build_canvas(plane_cwh, nbx, nby)
+
+
 def _ray_shape_usable(M: int, ray_shape) -> bool:
     if ray_shape is None:
         return False
@@ -250,14 +269,14 @@ def _ray_shape_usable(M: int, ray_shape) -> bool:
 # Core (custom VJP): padded plane canvas + absolute floor coords → samples
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _sample_core(statics, plane_cwh, y0, x0, wy, wx, xyz_t):
-    return _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t)
+def _sample_core(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas):
+    return _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas)
 
 
 def _full_plane_call(statics, plane_cwh, y0, x0, wy, wx):
     """Correctness fallback: full-plane one-hot contraction (original point
     order). plane_cwh (NP, C, W, H) reshaped to (NP, C·W, H)."""
-    NP, H, W, C, M, _ray_shape, tile_p, block_p, cdt_name, interpret = statics
+    NP, H, W, C, M, _ray_shape, tile_p, block_p, cdt_name, interpret, _coh = statics
     compute_dtype = jnp.dtype(cdt_name)
     plane_t = plane_cwh.reshape(NP, C * W, H)
 
@@ -297,7 +316,7 @@ def _windowed_call(statics, canvas, pts, bidx):
     """Fast path: pts (NP, 4, Mt) tile-regrouped window-relative coords,
     bidx (NP, nt) int32 canvas block per tile, canvas
     (NP, nb, C·_WX, _WY)."""
-    NP, H, W, C, M, ray_shape, tile_p, block_p, cdt_name, interpret = statics
+    NP, H, W, C, M, ray_shape, tile_p, block_p, cdt_name, interpret, _coh = statics
     compute_dtype = jnp.dtype(cdt_name)
     Mt = pts.shape[2]
     nt = Mt // tile_p
@@ -328,8 +347,15 @@ def _windowed_call(statics, canvas, pts, bidx):
     )(bidx, pts, canvas)
 
 
-def _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t):
-    NP, H, W, C, M, ray_shape, tile_p, block_p, cdt_name, interpret = statics
+def _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas=None):
+    """canvas: optional precomputed window canvas (build_plane_canvas).
+    Gradients still flow to plane_cwh — the custom VJP computes d_plane
+    directly from coords and the cotangent, independent of how the forward
+    fetched plane values, so the canvas is a zero-grad auxiliary."""
+    NP, H, W, C, M, ray_shape, tile_p, block_p, cdt_name, interpret, coh_hc = statics
+    coherent, has_canvas = coh_hc if isinstance(coh_hc, tuple) else (coh_hc, False)
+    if not has_canvas:
+        canvas = None
     N = xyz_t.shape[0]
 
     y0 = lax.stop_gradient(y0)
@@ -370,23 +396,31 @@ def _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t):
     pts = jnp.stack([rel_y, rel_x, wyt, wxt], axis=1)  # (NP, 4, Mt)
 
     def fast(_):
-        canvas = _build_canvas(plane_cwh, nbx, nby)
-        out = _windowed_call(statics, canvas, pts, bidx)
+        cv = canvas if canvas is not None else _build_canvas(plane_cwh, nbx, nby)
+        out = _windowed_call(statics, cv, pts, bidx)
         return _untile_perm(out, M, ray_shape)
 
     def slow(_):
         return _full_plane_call(statics, plane_cwh, y0, x0, wyg, wxg)
 
+    if coherent is True:
+        # Static fast path: profiling shows the traced lax.cond costs more
+        # than the windowed kernels themselves (cond machinery + both-branch
+        # buffer copies, ~3 ms/frame at 196k pts). Callers assert coherence
+        # once per workload via fast_path_pred and then pin it statically.
+        return fast(None)
+    if coherent is False or ray_shape is None:
+        return slow(None)
     return lax.cond(jnp.logical_and(ok_x, ok_y), fast, slow, None)
 
 
-def _sample_fwd(statics, plane_cwh, y0, x0, wy, wx, xyz_t):
-    out = _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t)
+def _sample_fwd(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas):
+    out = _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas)
     return out, (y0, x0, wy, wx, xyz_t)
 
 
 def _sample_bwd(statics, residuals, g_samples):
-    NP, H, W, C, M, _ray_shape, tile_p, block_p, cdt_name, interpret = statics
+    NP, H, W, C, M, _ray_shape, tile_p, block_p, cdt_name, interpret, _coh = statics
     compute_dtype = jnp.dtype(cdt_name)
     y0, x0, wy, wx, xyz_t = residuals
 
@@ -421,10 +455,14 @@ def _sample_bwd(statics, residuals, g_samples):
             vmem_limit_bytes=100 * 1024 * 1024,
         ) if not interpret else None,
     )(pad_pts(y0), pad_pts(x0), pad_pts(wy), pad_pts(wx), g)
-    # Coordinate gradients are intentionally zero (see module docstring).
+    # Coordinate gradients are intentionally zero (see module docstring);
+    # the canvas cotangent is None-equivalent zeros (aux input).
     zeros = lambda a: jnp.zeros_like(a)
+    NBX, NBY = _canvas_geom(H, W)
+    canvas_zeros = jnp.zeros((NP, NBX * NBY, C * _WX, _WY), compute_dtype)
     return (d_plane_t.reshape(NP, C, W, H).astype(compute_dtype),
-            zeros(y0), zeros(x0), zeros(wy), zeros(wx), zeros(xyz_t))
+            zeros(y0), zeros(x0), zeros(wy), zeros(wx), zeros(xyz_t),
+            canvas_zeros)
 
 
 _sample_core.defvjp(_sample_fwd, _sample_bwd)
@@ -432,14 +470,16 @@ _sample_core.defvjp(_sample_fwd, _sample_bwd)
 
 @functools.partial(jax.jit, static_argnames=("ray_shape", "block_p",
                                               "tile_p", "compute_dtype",
-                                              "interpret"))
+                                              "interpret", "coherent"))
 def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
                     box_warp: float = 1.0,
                     ray_shape: Optional[Tuple[int, int, int]] = None,
                     block_p: int = DEFAULT_BLOCK_P,
                     tile_p: int = DEFAULT_TILE_P,
                     compute_dtype=jnp.bfloat16,
-                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+                    interpret: bool = False,
+                    coherent: Optional[bool] = None,
+                    canvas: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """Bilinearly sample the three EG3D planes at 3-D points.
 
     Args:
@@ -497,7 +537,8 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
 
     rs = ray_shape if _ray_shape_usable(M, ray_shape) else None
     statics = (NP, H, W, C, M, rs, tile_p, block_p,
-               jnp.dtype(compute_dtype).name, interpret)
+               jnp.dtype(compute_dtype).name, interpret,
+               coherent if rs is not None else False)
     # ONE relayout of the (scaled) coords into tile order; the fast path
     # derives its per-plane tiled index arrays elementwise from this.
     xyz = lax.stop_gradient(
@@ -507,7 +548,14 @@ def triplane_sample(planes_hwc: jax.Array, coords: jax.Array, *,
     # the whole plane on every grid cell). The fast path expands this into
     # the overlapping-window canvas; the fallback reshapes it to (C·W, H).
     plane_cwh = planes_hwc.transpose(0, 3, 2, 1).astype(compute_dtype)
-    samples = _sample_core(statics, plane_cwh, y0, x0, wy, wx, xyz_t)
+    if canvas is None:
+        nbx_, nby_ = _canvas_geom(H, W)
+        canvas = jnp.zeros((NP, nbx_ * nby_, C * _WX, _WY), compute_dtype)
+        has_canvas = False
+    else:
+        has_canvas = True
+    statics = statics[:-1] + ((statics[-1], has_canvas),)
+    samples = _sample_core(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas)
     return samples, wsum
 
 

@@ -257,6 +257,8 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
               rng: Optional[jax.Array] = None,
               plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
               ray_shape: Optional[Tuple[int, int, int]] = None,
+              coherent: Optional[bool] = None,
+              canvas: Optional[jax.Array] = None,
               ) -> Dict[str, jax.Array]:
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
@@ -276,7 +278,8 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
         M = coordinates.shape[1]
         hwc = norm_planes.reshape(N * n_planes, C, H, W).transpose(0, 2, 3, 1)
         samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp,
-                                        ray_shape=ray_shape)
+                                        ray_shape=ray_shape, coherent=coherent,
+                                        canvas=canvas)
         sampled_norm = samples.reshape(N, n_planes, M, C)
         mean, var = plane_stats  # (N, 3, C)
         sampled_denorm = (
@@ -335,9 +338,16 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
                 ray_origins, ray_directions, cfg: RenderingConfig,
                 rng: Optional[jax.Array] = None,
                 with_seg: bool = True,
-                plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None):
+                plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
+                ray_grid: Optional[Tuple[int, int]] = None,
+                coherent: Optional[bool] = None):
     """Full two-pass hierarchical render (ref: renderer.py:301-363 /
     82-140).
+
+    ray_grid: explicit (rows, cols) pixel-grid layout of the ray axis for
+    the windowed kernel's coherence tiling. Defaults to the square grid
+    inferred from R; multi-frame batched renders (editing.api.decode_frames
+    stacks F frames' rays) pass (F·res, res).
 
     Returns (rgb_final, seg_final|None, depth_final, weight_sum), with
     rgb (B,R,C), seg (B,R,K), depth (B,R,1).
@@ -346,15 +356,30 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
     B, R, _ = ray_origins.shape
     S = cfg.depth_resolution
 
+    # Window canvas: built ONCE per render — both passes (and every frame of
+    # a batched orbit) sample the same planes; the per-call build was ~1 GB
+    # of HBM traffic per frame (HLO-profiled, r2).
+    canvas = None
+    if (plane_stats is not None and norm_planes is not None
+            and jax.default_backend() in ("tpu", "axon")):
+        from ..ops.triplane_kernel import build_plane_canvas
+
+        N_, n_planes_, C_, H_, W_ = norm_planes.shape
+        hwc_ = norm_planes.reshape(N_ * n_planes_, C_, H_, W_).transpose(0, 2, 3, 1)
+        canvas = build_plane_canvas(hwc_)
+
     ray_start, ray_end = _ray_bounds(ray_origins, ray_directions, cfg)
     depths_coarse = sample_stratified(
         rngs[0], ray_origins, ray_start, ray_end, S, cfg.disparity_space_sampling
     )
 
     # Static (rh, rw, S) layout hint for the windowed Pallas fast path —
-    # render rays are row-major over a square pixel grid.
-    res = int(round(R ** 0.5))
-    ray_res = res if res * res == R else None
+    # render rays are row-major over a pixel grid.
+    if ray_grid is not None:
+        assert ray_grid[0] * ray_grid[1] == R, (ray_grid, R)
+    else:
+        res = int(round(R ** 0.5))
+        ray_grid = (res, res) if res * res == R else None
 
     @partial(jax.checkpoint, static_argnums=())
     def _eval_coords(decoder_params_, norm_planes_, denorm_planes_, depths, rng_eval):
@@ -364,10 +389,10 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         # cheaper than holding them in HBM (SURVEY §7: jax.checkpoint to
         # trade FLOPs for memory).
         coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
-        rs = (ray_res, ray_res, depths.shape[2]) if ray_res is not None else None
+        rs = (ray_grid[0], ray_grid[1], depths.shape[2]) if ray_grid is not None else None
         out = run_model(decoder_fn, decoder_params_, norm_planes_, denorm_planes_,
                         coords, cfg, rng_eval, plane_stats=plane_stats,
-                        ray_shape=rs)
+                        ray_shape=rs, coherent=coherent, canvas=canvas)
         return out["rgb"], out["sigma"], out.get("seg")
 
     def eval_at(depths, rng_eval):

@@ -197,3 +197,31 @@ class TestProjector:
         assert ws.shape == ws_true.shape
         assert np.isfinite(losses).all()
         assert min(losses[1:]) < losses[0]  # optimization makes progress
+
+
+class TestDecodeFrames:
+    def test_matches_per_frame_decode(self):
+        """Batched orbit renderer (decode_frames): F frames' rays flattened
+        into one render == per-frame decode, bit-comparable on CPU."""
+        cfg = tiny_config()
+        params = triplane.init_generator(jax.random.key(0), cfg)
+        from nerffaceediting_tpu.editing.api import (
+            decode, decode_frames, swap_appearance_stats)
+
+        z = jax.random.normal(jax.random.key(1), (1, cfg.z_dim))
+        cams = jnp.concatenate([
+            camera_params(lookat_pose(np.pi / 2 + 0.2 * i, np.pi / 2,
+                                      (0, 0, 0.2), radius=2.7),
+                          fov_to_intrinsics(18.837)[None]) for i in range(2)])
+        ws = triplane.mapping(params, z, cams[:1], cfg)
+        planes = encode(params, ws, cfg)
+        norm, stats = swap_appearance_stats(planes, planes)
+
+        multi = decode_frames(params, ws, cams, norm, None, cfg,
+                              plane_stats=stats)
+        for i in range(2):
+            single = decode(params, ws, cams[i:i + 1], norm, None, cfg,
+                            plane_stats=stats)
+            for k in ("image", "image_raw", "image_seg", "image_depth"):
+                d = float(jnp.max(jnp.abs(single[k][0] - multi[k][i])))
+                assert d < 1e-4, (k, i, d)
