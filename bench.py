@@ -77,8 +77,11 @@ def main():
         norm, stats = swap_appearance_stats(planes_src, planes_sty)
 
         def frame(carry, cam):
+            # serving config: statically-coherent windowed kernel (validated
+            # once per workload via fast_path_pred) + fused sampling/decoder
+            # epilogue — the r2 kernel additions (ops/triplane_kernel.py).
             out = decode(params, ws, cam[None], norm, None, cfg,
-                         plane_stats=stats)
+                         plane_stats=stats, coherent=True, fused_decoder=True)
             # scalar checksum forces execution; frames would stream to the
             # encoder in production
             return carry + jnp.sum(out["image"]), None

@@ -124,6 +124,7 @@ def decode_frames(params, ws, cams, norm_planes, denorm_planes,
                   plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
                   neural_rendering_resolution: Optional[int] = None,
                   coherent: Optional[bool] = None,
+                  fused_decoder: bool = True,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Render MANY cameras against ONE identity's planes as a single fused
     device program — the serving-path orbit renderer (bench.py workload;
@@ -147,11 +148,31 @@ def decode_frames(params, ws, cams, norm_planes, denorm_planes,
     intrinsics = cams[:, 16:25].reshape(-1, 3, 3)
     ray_o, ray_d = sample_rays(cam2world, intrinsics, res)  # (F, R, 3)
     R = ray_o.shape[1]
-    feats, segs, depths, _ = render_rays(
-        _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
-        ray_o.reshape(1, F * R, 3), ray_d.reshape(1, F * R, 3),
-        cfg.rendering, rng=None, plane_stats=plane_stats,
-        ray_grid=(F * res, res), coherent=coherent)
+    if fused_decoder and jax.default_backend() in ("tpu", "axon"):
+        # Fused sampling+decoder kernel per frame (the TPU backend's layout
+        # math caps one kernel's point axis at 2^18), ONE shared canvas.
+        from ..models.triplane import split_planes  # noqa: F401 (doc link)
+        from ..ops.triplane_kernel import build_plane_canvas
+
+        N_, n_p, C_, H_, W_ = norm_planes.shape
+        hwc = norm_planes.reshape(N_ * n_p, C_, H_, W_).transpose(0, 2, 3, 1)
+        canvas = build_plane_canvas(hwc)
+        per_frame = [
+            render_rays(_decoder_fn(cfg), params["decoder"], norm_planes,
+                        denorm_planes, ray_o[f:f + 1], ray_d[f:f + 1],
+                        cfg.rendering, rng=None, plane_stats=plane_stats,
+                        coherent=coherent, fused_decoder=True, canvas=canvas)
+            for f in range(F)
+        ]
+        feats = jnp.concatenate([o[0] for o in per_frame], axis=0)
+        segs = jnp.concatenate([o[1] for o in per_frame], axis=0)
+        depths = jnp.concatenate([o[2] for o in per_frame], axis=0)
+    else:
+        feats, segs, depths, _ = render_rays(
+            _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
+            ray_o.reshape(1, F * R, 3), ray_d.reshape(1, F * R, 3),
+            cfg.rendering, rng=None, plane_stats=plane_stats,
+            ray_grid=(F * res, res), coherent=coherent)
 
     feature_image = feats.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
     seg_image = segs.reshape(F, res, res, -1).transpose(0, 3, 1, 2)

@@ -146,6 +146,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
                   rng: Optional[jax.Array] = None,
                   plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
                   coherent: Optional[bool] = None,
+                  fused_decoder: bool = False,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Planes + camera → frame dict. This is the editing decode()
     (ref utils.py:165-199) and the second half of synthesis().
@@ -163,6 +164,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
         _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
         ray_origins, ray_dirs, cfg.rendering, rng=rng_render,
         plane_stats=plane_stats, coherent=coherent,
+        fused_decoder=fused_decoder,
     )
 
     B = feats.shape[0]

@@ -595,3 +595,211 @@ def sample_from_planes_fused(plane_features: jax.Array, coordinates: jax.Array,
     hwc = plane_features.reshape(N * n_planes, C, H, W).transpose(0, 2, 3, 1)
     samples, _ = triplane_sample(hwc, coordinates, box_warp=box_warp, **kw)
     return samples.reshape(N, n_planes, M, C)
+
+
+# ---------------------------------------------------------------------------
+# Fused sampling + decoder epilogue (inference serving path)
+#
+# Profiling (scripts/profile_decode.py, r2): the decomposed pipeline spends
+# more on the traffic AROUND sampling than in it — per frame: untile copies
+# 1.8 ms, (3, M, C) sample copies 1.2 ms, 3-plane mean reduces 1.3 ms,
+# decoder fusions 1.2 ms. This kernel computes, per point tile, all three
+# planes' windowed contractions, the plane mean, the denormalization remat
+# (σ·s + μ·wsum), and both 2-layer decoder MLPs — writing only the final
+# (1+seg+rgb)-channel result. Inference-only (no VJP; training keeps the
+# decomposed path whose custom backward is exact).
+
+def _fused_decode_kernel(bidx_ref, pts0_ref, pts1_ref, pts2_ref,
+                         c0_ref, c1_ref, c2_ref, stats_ref,
+                         w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                         w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                         out_ref, *, C: int, tile_p: int, compute_dtype):
+    """One point tile × all 3 planes → decoded (1+S+R, tile_p).
+
+    pts_p: (1, 5, tile_p) rows [rel_y, rel_x, wy, wx, wsum] per plane;
+    canvas_p: (1, 1, C·_WX, _WY); stats: (3, 2, C) [mean; var] per plane;
+    weights pre-scaled by the equalized-lr gains outside."""
+    acc_n = jnp.zeros((C, tile_p), jnp.float32)
+    acc_d = jnp.zeros((C, tile_p), jnp.float32)
+    for p, (pts_ref, cv_ref) in enumerate(((pts0_ref, c0_ref),
+                                           (pts1_ref, c1_ref),
+                                           (pts2_ref, c2_ref))):
+        w2 = cv_ref[0, 0]                    # (C·_WX, _WY)
+        WX = w2.shape[0] // C
+        WY = w2.shape[1]
+        rel_y = pts_ref[0, 0, :]
+        rel_x = pts_ref[0, 1, :]
+        wy1 = pts_ref[0, 2, :]
+        wx1 = pts_ref[0, 3, :]
+        wsum = pts_ref[0, 4, :]
+        ry_t = _onehot2_t(rel_y.astype(jnp.int32), wy1, WY, tile_p,
+                          compute_dtype)
+        rx_t = _onehot2_t(rel_x.astype(jnp.int32), wx1, WX, tile_p,
+                          jnp.float32)
+        t = jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)
+        s = jnp.sum(t.reshape(C, WX, tile_p) * rx_t[None], axis=1)  # (C, P)
+        acc_n += s
+        mean = stats_ref[p, 0, :][:, None]   # (C, 1)
+        var = stats_ref[p, 1, :][:, None]
+        acc_d += s * var + mean * wsum[None, :]
+
+    xn = acc_n * (1.0 / 3.0)
+    xd = acc_d * (1.0 / 3.0)
+    # geo net: σ + seg from normalized samples (ref triplane.py:232-270)
+    hg = jax.nn.softplus(
+        jnp.dot(w0g_ref[...], xn, preferred_element_type=jnp.float32)
+        + b0g_ref[...])
+    g = (jnp.dot(w1g_ref[...], hg, preferred_element_type=jnp.float32)
+         + b1g_ref[...])
+    # app net: rgb features from denormalized samples
+    ha = jax.nn.softplus(
+        jnp.dot(w0a_ref[...], xd, preferred_element_type=jnp.float32)
+        + b0a_ref[...])
+    rgb_lin = (jnp.dot(w1a_ref[...], ha, preferred_element_type=jnp.float32)
+               + b1a_ref[...])
+    rgb = jax.nn.sigmoid(rgb_lin) * (1 + 2 * 0.001) - 0.001
+    out_ref[0] = jnp.concatenate([g, rgb], axis=0)
+
+
+def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
+                           decoder_params, plane_stats, *,
+                           box_warp: float = 1.0,
+                           ray_shape: Tuple[int, int, int],
+                           lr_multiplier: float = 1.0,
+                           tile_p: int = DEFAULT_TILE_P,
+                           compute_dtype=jnp.bfloat16,
+                           canvas: Optional[jax.Array] = None,
+                           interpret: bool = False):
+    """Fused serving path: planes + points → decoded σ/seg/rgb directly.
+
+    planes_hwc: (3, H, W, C) NORMALIZED planes (batch 1); coords (1, M, 3);
+    plane_stats: (mean, var) each (1, 3, C); decoder_params: the
+    DisentangledOSGDecoder pytree (geo_net/app_net). Returns
+    {'sigma': (1, M, 1), 'seg': (1, M, S), 'rgb': (1, M, R)} float32.
+
+    INFERENCE ONLY — differentiating through this raises (training uses the
+    decomposed kernel whose custom VJP is exact)."""
+    NP, H, W, C = planes_hwc.shape
+    assert NP == 3, "fused path is single-identity (3 planes)"
+    N, M, _ = coords.shape
+    assert N == 1
+    coords = lax.stop_gradient(coords)
+    planes_hwc = lax.stop_gradient(planes_hwc)
+
+    s = (2.0 / box_warp)
+    x, y, z = coords[..., 0] * s, coords[..., 1] * s, coords[..., 2] * s
+    xyz = jnp.stack([x, y, z], axis=1).reshape(3, M)
+    xyz_t = _tile_perm(xyz, ray_shape, tile_p)                # (3, Mt)
+    Mt = xyz_t.shape[1]
+    nt = Mt // tile_p
+    xt, yt, zt = xyz_t[0], xyz_t[1], xyz_t[2]
+    ut = jnp.stack([xt, xt, zt])                              # (3, Mt)
+    vt = jnp.stack([yt, zt, xt])
+    fut = (ut + 1.0) * (W * 0.5) - 0.5
+    fvt = (vt + 1.0) * (H * 0.5) - 0.5
+    x0t = jnp.clip(jnp.floor(fut), -2, W + 1)
+    y0t = jnp.clip(jnp.floor(fvt), -2, H + 1)
+    wxt = (fut - jnp.floor(fut)).astype(jnp.float32)
+    wyt = (fvt - jnp.floor(fvt)).astype(jnp.float32)
+    ry_mass = ((1.0 - wyt) * ((y0t >= 0) & (y0t < H))
+               + wyt * ((y0t + 1 >= 0) & (y0t + 1 < H)))
+    rx_mass = ((1.0 - wxt) * ((x0t >= 0) & (x0t < W))
+               + wxt * ((x0t + 1 >= 0) & (x0t + 1 < W)))
+    wsum_t = (ry_mass * rx_mass).astype(jnp.float32)          # (3, Mt)
+
+    nbx, nby = _canvas_geom(H, W)
+
+    def window_of(v, stride, nb):
+        vt_ = v.reshape(3, nt, tile_p)
+        b = jnp.clip(jnp.floor((jnp.min(vt_, axis=-1) + _PADL) / stride),
+                     0, nb - 1).astype(jnp.int32)
+        ws_ = (b * stride - _PADL).astype(jnp.float32)
+        return b, (vt_ - ws_[:, :, None]).reshape(3, Mt)
+
+    bx, rel_x = window_of(x0t, _SX, nbx)
+    by, rel_y = window_of(y0t, _SY, nby)
+    bidx = bx * nby + by                                      # (3, nt)
+    pts = jnp.stack([rel_y, rel_x, wyt, wxt, wsum_t], axis=1) # (3, 5, Mt)
+
+    if canvas is None:
+        canvas = build_plane_canvas(planes_hwc, compute_dtype)
+
+    # equalized-lr effective weights (models/layers.fully_connected formula)
+    def eff(p_net):
+        w0 = p_net["fc0"]["weight"]
+        w1 = p_net["fc1"]["weight"]
+        g0 = lr_multiplier / float(w0.shape[1]) ** 0.5
+        g1 = lr_multiplier / float(w1.shape[1]) ** 0.5
+        return (w0 * g0,
+                (p_net["fc0"]["bias"] * lr_multiplier).reshape(-1, 1),
+                w1 * g1,
+                (p_net["fc1"]["bias"] * lr_multiplier).reshape(-1, 1))
+
+    w0g, b0g, w1g, b1g = eff(decoder_params["geo_net"])
+    w0a, b0a, w1a, b1a = eff(decoder_params["app_net"])
+    mean, var = plane_stats
+    stats = jnp.stack([mean.reshape(3, C), var.reshape(3, C)], axis=1)
+
+    SEG = w1g.shape[0] - 1
+    RGB = w1a.shape[0]
+    OUT = 1 + SEG + RGB
+
+    kernel = functools.partial(_fused_decode_kernel, C=C, tile_p=tile_p,
+                               compute_dtype=jnp.dtype(compute_dtype))
+    full = lambda a: pl.BlockSpec(a.shape, lambda j, b_ref: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+
+    def fused_call(bidx_c, pts_c):
+        nt_c = pts_c.shape[2] // tile_p
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt_c,),
+            in_specs=[
+                pl.BlockSpec((1, 5, tile_p), lambda j, b: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 5, tile_p), lambda j, b: (1, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 5, tile_p), lambda j, b: (2, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (0, b[0, j], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (1, b[1, j], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (2, b[2, j], 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(stats), full(w0g), full(b0g), full(w1g), full(b1g),
+                full(w0a), full(b0a), full(w1a), full(b1a),
+            ],
+            out_specs=pl.BlockSpec((1, OUT, tile_p), lambda j, b: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, OUT, pts_c.shape[2]), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ) if not interpret else None,
+        )(bidx_c, pts_c[0:1], pts_c[1:2], pts_c[2:3], canvas, canvas, canvas,
+          stats, w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
+
+    # The TPU backend's layout math overflows for pallas operands with a
+    # minor extent beyond 2^18 (compiler SIGABRT, bisected r2); chunk the
+    # point axis — every chunk shares the one canvas, so the only cost is a
+    # few extra kernel launches inside the program.
+    MAX_MT = 1 << 18
+    if Mt <= MAX_MT:
+        out = fused_call(bidx, pts)
+    else:
+        chunk_nt = MAX_MT // tile_p
+        outs = []
+        for c0 in range(0, nt, chunk_nt):
+            c1 = min(c0 + chunk_nt, nt)
+            outs.append(fused_call(
+                bidx[:, c0:c1], pts[:, :, c0 * tile_p:c1 * tile_p]))
+        out = jnp.concatenate(outs, axis=2)
+
+    dec = _untile_perm(out, M, ray_shape)[0]  # (M, OUT)
+    return {"sigma": dec[None, :, 0:1], "seg": dec[None, :, 1:1 + SEG],
+            "rgb": dec[None, :, 1 + SEG:]}

@@ -259,6 +259,7 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
               ray_shape: Optional[Tuple[int, int, int]] = None,
               coherent: Optional[bool] = None,
               canvas: Optional[jax.Array] = None,
+              fused_decoder: bool = False,
               ) -> Dict[str, jax.Array]:
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
@@ -277,6 +278,16 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
         N, n_planes, C, H, W = norm_planes.shape
         M = coordinates.shape[1]
         hwc = norm_planes.reshape(N * n_planes, C, H, W).transpose(0, 2, 3, 1)
+        if (fused_decoder and N == 1 and ray_shape is not None
+                and "geo_net" in decoder_params and cfg.density_noise == 0):
+            # serving fast path: sampling + plane mean + decoder MLPs in one
+            # Pallas kernel (INFERENCE ONLY — plane grads are stopped).
+            from ..ops.triplane_kernel import triplane_sample_decode
+
+            return triplane_sample_decode(
+                hwc, coordinates, decoder_params, plane_stats,
+                box_warp=cfg.box_warp, ray_shape=ray_shape,
+                lr_multiplier=cfg.decoder_lr_mul, canvas=canvas)
         samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp,
                                         ray_shape=ray_shape, coherent=coherent,
                                         canvas=canvas)
@@ -340,7 +351,9 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
                 with_seg: bool = True,
                 plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
                 ray_grid: Optional[Tuple[int, int]] = None,
-                coherent: Optional[bool] = None):
+                coherent: Optional[bool] = None,
+                fused_decoder: bool = False,
+                canvas: Optional[jax.Array] = None):
     """Full two-pass hierarchical render (ref: renderer.py:301-363 /
     82-140).
 
@@ -358,9 +371,9 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
 
     # Window canvas: built ONCE per render — both passes (and every frame of
     # a batched orbit) sample the same planes; the per-call build was ~1 GB
-    # of HBM traffic per frame (HLO-profiled, r2).
-    canvas = None
-    if (plane_stats is not None and norm_planes is not None
+    # of HBM traffic per frame (HLO-profiled, r2). Callers rendering many
+    # frames against the same planes pass a prebuilt canvas instead.
+    if canvas is None and (plane_stats is not None and norm_planes is not None
             and jax.default_backend() in ("tpu", "axon")):
         from ..ops.triplane_kernel import build_plane_canvas
 
@@ -392,7 +405,8 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         rs = (ray_grid[0], ray_grid[1], depths.shape[2]) if ray_grid is not None else None
         out = run_model(decoder_fn, decoder_params_, norm_planes_, denorm_planes_,
                         coords, cfg, rng_eval, plane_stats=plane_stats,
-                        ray_shape=rs, coherent=coherent, canvas=canvas)
+                        ray_shape=rs, coherent=coherent, canvas=canvas,
+                        fused_decoder=fused_decoder)
         return out["rgb"], out["sigma"], out.get("seg")
 
     def eval_at(depths, rng_eval):

@@ -201,3 +201,70 @@ class TestWindowedFastPath:
                                        interpret=True, compute_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFusedDecode:
+    def test_fused_equals_decomposed(self):
+        """triplane_sample_decode (sampling + plane mean + decoder MLPs in
+        one kernel) == decomposed path, interpret mode."""
+        from nerffaceediting_tpu.models.decoders import (
+            disentangled_osg_decoder, init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample, triplane_sample_decode)
+
+        rng = np.random.default_rng(0)
+        H = W = 64
+        C = 32
+        rh, rw, S = 8, 8, 4
+        M = rh * rw * S
+        planes = jnp.asarray(rng.normal(size=(3, H, W, C)).astype(np.float32))
+        base = np.stack(np.meshgrid(
+            np.linspace(-0.4, 0.4, rh), np.linspace(-0.4, 0.4, rw),
+            np.linspace(-0.2, 0.2, S), indexing="ij"), -1)
+        coords = jnp.asarray(
+            (base.reshape(1, M, 3)
+             + rng.normal(size=(1, M, 3)) * 0.003).astype(np.float32))
+        dec = init_disentangled_osg_decoder(jax.random.key(1))
+        mean = jnp.asarray(rng.normal(size=(1, 3, C)).astype(np.float32))
+        var = jnp.asarray(np.abs(rng.normal(size=(1, 3, C))).astype(np.float32))
+
+        samples, wsum = triplane_sample(
+            planes, coords, ray_shape=(rh, rw, S), tile_p=64,
+            compute_dtype=jnp.float32, interpret=True, coherent=True)
+        sn = samples.reshape(1, 3, M, C)
+        sd = (sn * var[:, :, None, :]
+              + mean[:, :, None, :] * wsum.reshape(1, 3, M, 1))
+        want = disentangled_osg_decoder(dec, sn, sd)
+        got = triplane_sample_decode(
+            planes, coords, dec, (mean, var), ray_shape=(rh, rw, S),
+            tile_p=64, compute_dtype=jnp.float32, interpret=True)
+        for k in ("sigma", "seg", "rgb"):
+            np.testing.assert_allclose(np.asarray(want[k]), np.asarray(got[k]),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_fused_with_prebuilt_canvas(self):
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            build_plane_canvas, triplane_sample_decode)
+
+        rng = np.random.default_rng(1)
+        planes = jnp.asarray(rng.normal(size=(3, 64, 64, 32)).astype(np.float32))
+        base = np.stack(np.meshgrid(
+            np.linspace(-0.3, 0.3, 8), np.linspace(-0.3, 0.3, 8),
+            np.linspace(-0.1, 0.1, 4), indexing="ij"), -1)
+        coords = jnp.asarray(base.reshape(1, 256, 3).astype(np.float32))
+        dec = init_disentangled_osg_decoder(jax.random.key(2))
+        mean = jnp.zeros((1, 3, 32))
+        var = jnp.ones((1, 3, 32))
+        canvas = build_plane_canvas(planes, jnp.float32)
+        a = triplane_sample_decode(planes, coords, dec, (mean, var),
+                                   ray_shape=(8, 8, 4), tile_p=64,
+                                   compute_dtype=jnp.float32, interpret=True)
+        b = triplane_sample_decode(planes, coords, dec, (mean, var),
+                                   ray_shape=(8, 8, 4), tile_p=64,
+                                   compute_dtype=jnp.float32, interpret=True,
+                                   canvas=canvas)
+        for k in ("sigma", "seg", "rgb"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-5)
