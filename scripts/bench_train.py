@@ -74,24 +74,31 @@ def main():
                                        microbatch=micro),
     }
 
+    def barrier(state, stats):
+        # donated-buffer aliasing makes block_until_ready unreliable on the
+        # async tunnel backend; fetching a VALUE is the only hard barrier
+        for leaf in jax.tree.leaves(stats)[:1]:
+            float(leaf)
+        float(jnp.sum(jax.tree.leaves(state.g_params)[0]))
+
     times = {}
     for name, fn in phases.items():
         t0 = time.perf_counter()
         state, stats = fn(state, jax.random.key(1))
-        jax.block_until_ready(stats)
+        barrier(state, stats)
         compile_s = time.perf_counter() - t0
         n_iters = 3
         t0 = time.perf_counter()
         for i in range(n_iters):
             state, stats = fn(state, jax.random.key(2 + i))
-        jax.block_until_ready(stats)
+        barrier(state, stats)
         times[name] = (time.perf_counter() - t0) / n_iters
         print(f"{name:<6} {times[name]*1e3:9.1f} ms/step "
               f"(compile {compile_s:.0f}s)", flush=True)
 
     t0 = time.perf_counter()
     state = ema_step(state, batch_size=batch)
-    jax.block_until_ready(state.g_ema)
+    float(jnp.sum(jax.tree.leaves(state.g_ema)[0]))
     times["EMA"] = time.perf_counter() - t0
     print(f"{'EMA':<6} {times['EMA']*1e3:9.1f} ms/step", flush=True)
 

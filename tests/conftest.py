@@ -24,3 +24,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The XLA CPU compiler segfaults on FRESH compiles late in a single-process
+    run of the full suite (reproduced at tests/test_vgg_equiv.py and
+    tests/test_visualizer.py, 2026-08-17; each passes in isolation) — the
+    accumulated program cache of ~200 earlier tests poisons subsequent
+    compilation. Dropping the caches per module bounds that state; the cost
+    is per-module recompiles of shared tiny-config programs."""
+    yield
+    jax.clear_caches()
