@@ -52,7 +52,8 @@ def main():
     norm, stats = swap_appearance_stats(planes, sty)
 
     fn = jax.jit(lambda p, w, c, n: decode_frames(
-        p, w, c, n, None, cfg, plane_stats=stats, coherent=True))
+        p, w, c, n, None, cfg, plane_stats=stats, coherent=True,
+        fused_decoder=True))
     lowered = fn.lower(params, ws, cams, norm)
     comp = lowered.compile()
     hlo = comp.as_text()
