@@ -25,6 +25,10 @@ from typing import Iterator, Optional, Tuple
 
 
 def transform_image(img, resolution: Optional[int], transform: Optional[str]):
+    """Returns the transformed PIL image, or None when the transform REJECTS
+    the input (too small for center-crop-wide — ref dataset_tool.py:242-243;
+    rejected images are skipped, matching the reference's error-on-None
+    contract per image)."""
     import PIL.Image
 
     if transform == "center-crop":
@@ -32,11 +36,22 @@ def transform_image(img, resolution: Optional[int], transform: Optional[str]):
         s = min(w, h)
         img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
     elif transform == "center-crop-wide":
-        # ref dataset_tool.py make_transform: crop to 2:1, pad top/bottom
+        # ref dataset_tool.py:240-252 center_crop_wide with the wide-output
+        # convention (width=resolution, height=resolution//2): center-crop
+        # rows to ch = round(width·h/w), resize to (width, height), letterbox
+        # onto a black square canvas. Undersized inputs are rejected.
+        if resolution is None:
+            raise ValueError("center-crop-wide requires --resolution")
+        width, height = resolution, resolution // 2
         w, h = img.size
-        if resolution is not None and w >= resolution * 2 and h >= resolution:
-            img = img.crop(((w - 2 * h) // 2 if w > 2 * h else 0, 0,
-                            (w + 2 * h) // 2 if w > 2 * h else w, h))
+        ch = int(round(width * h / w))
+        if w < width or ch < height:
+            return None
+        img = img.crop((0, (h - ch) // 2, w, (h + ch) // 2))
+        img = img.resize((width, height), PIL.Image.LANCZOS)
+        canvas = PIL.Image.new("RGB", (width, width))
+        canvas.paste(img, (0, (width - height) // 2))
+        return canvas
     if resolution is not None and img.size != (resolution, resolution):
         img = img.resize((resolution, resolution), PIL.Image.LANCZOS)
     return img
@@ -152,6 +167,8 @@ def convert(source: str, dest: str, resolution: Optional[int] = None,
             if max_images is not None and count >= max_images:
                 break
             img = transform_image(img, resolution, transform)
+            if img is None:  # rejected by the transform (too small)
+                continue
             # sharded archive naming like the reference tool
             arcname = f"{count // 1000:05d}/img{count:08d}.png"
             buf = io.BytesIO()

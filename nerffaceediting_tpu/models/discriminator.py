@@ -227,11 +227,13 @@ def dual_discriminator(params, img_sr, img_raw, c, cfg: DiscriminatorConfig, *,
 
 
 def freeze_d_mask(d_params: Dict, cfg: DiscriminatorConfig) -> Dict:
-    """Freeze-D (ref networks_stylegan2.py:585-592, --freezed): a boolean
+    """Freeze-D (ref networks_stylegan2.py:585-607, --freezed): a boolean
     pytree matching d_params with False on the first cfg.freezed conv layers
-    counted from the top-resolution block downwards (fromrgb → conv0 → conv1
-    per block, matching the reference's first_layer_idx ordering). The
-    optimizer step zeroes gradients where the mask is False."""
+    counted from the top-resolution block downwards (fromrgb → conv0 →
+    conv1 → skip per block — the reference's trainable_iter threads through
+    all four, so the resnet skip conv freezes with its block and the
+    first_layer_idx counting stays aligned for freezed ≥ 4). The optimizer
+    step zeroes gradients where the mask is False."""
     mask = jax.tree.map(lambda _: True, d_params)
     if cfg.freezed <= 0:
         return mask
@@ -239,7 +241,7 @@ def freeze_d_mask(d_params: Dict, cfg: DiscriminatorConfig) -> Dict:
     res = cfg.img_resolution
     while res > 4:
         block = d_params.get(f"b{res}", {})
-        for layer in ("fromrgb", "conv0", "conv1"):
+        for layer in ("fromrgb", "conv0", "conv1", "skip"):
             if layer in block:
                 if layer_idx < cfg.freezed:
                     mask[f"b{res}"][layer] = jax.tree.map(

@@ -406,9 +406,13 @@ def _sample_fwd_impl(statics, plane_cwh, y0, x0, wy, wx, xyz_t, canvas=None):
     if coherent is True:
         # Static fast path: profiling shows the traced lax.cond costs more
         # than the windowed kernels themselves (cond machinery + both-branch
-        # buffer copies, ~3 ms/frame at 196k pts). Callers assert coherence
-        # once per workload via fast_path_pred and then pin it statically.
-        return fast(None)
+        # buffer copies, ~3 ms/frame at 196k pts). Loud-fail guard (ADVICE
+        # r2): if the pinned workload ever violates the window-span
+        # predicate, poison the whole output with NaN — a wrong camera fails
+        # visibly instead of silently decoding zero samples. The scalar
+        # select fuses into the untile epilogue (no measurable cost).
+        return fast(None) + jnp.where(jnp.logical_and(ok_x, ok_y), 0.0,
+                                      jnp.nan)
     if coherent is False or ray_shape is None:
         return slow(None)
     return lax.cond(jnp.logical_and(ok_x, ok_y), fast, slow, None)
@@ -709,15 +713,16 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
 
     nbx, nby = _canvas_geom(H, W)
 
-    def window_of(v, stride, nb):
+    def window_of(v, stride, nb, win):
         vt_ = v.reshape(3, nt, tile_p)
         b = jnp.clip(jnp.floor((jnp.min(vt_, axis=-1) + _PADL) / stride),
                      0, nb - 1).astype(jnp.int32)
         ws_ = (b * stride - _PADL).astype(jnp.float32)
-        return b, (vt_ - ws_[:, :, None]).reshape(3, Mt)
+        ok = jnp.all(jnp.max(vt_, axis=-1) - ws_ <= win - 2)
+        return b, (vt_ - ws_[:, :, None]).reshape(3, Mt), ok
 
-    bx, rel_x = window_of(x0t, _SX, nbx)
-    by, rel_y = window_of(y0t, _SY, nby)
+    bx, rel_x, ok_x = window_of(x0t, _SX, nbx, _WX)
+    by, rel_y, ok_y = window_of(y0t, _SY, nby, _WY)
     bidx = bx * nby + by                                      # (3, nt)
     pts = jnp.stack([rel_y, rel_x, wyt, wxt, wsum_t], axis=1) # (3, 5, Mt)
 
@@ -801,5 +806,9 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
         out = jnp.concatenate(outs, axis=2)
 
     dec = _untile_perm(out, M, ray_shape)[0]  # (M, OUT)
+    # Loud-fail guard (ADVICE r2): this path is statically windowed — a
+    # workload whose tiles outgrow the window poisons the output with NaN
+    # instead of silently decoding zeros.
+    dec = dec + jnp.where(jnp.logical_and(ok_x, ok_y), 0.0, jnp.nan)
     return {"sigma": dec[None, :, 0:1], "seg": dec[None, :, 1:1 + SEG],
             "rgb": dec[None, :, 1 + SEG:]}

@@ -198,6 +198,12 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
                 save_image_grids(tcfg.run_dir, state, grid_z, grid_c, g_cfg,
                                  cur_nimg)
             if tcfg.snapshot_ticks and n_ticks % tcfg.snapshot_ticks == 0:
+                # Pre-snapshot replica-consistency check (ref
+                # training_loop.py:453 + misc.py:182-193 check_ddp_consistency
+                # before every pickle): replicated params must be bitwise
+                # identical across the mesh, or the snapshot is corrupt.
+                mesh_lib.assert_replica_consistency(state.g_params)
+                mesh_lib.assert_replica_consistency(state.d_params)
                 save_snapshot(tcfg.run_dir, state, cur_nimg)
                 if metric_fn is not None:
                     # in-loop evaluation hook (ref training_loop.py:463-472)

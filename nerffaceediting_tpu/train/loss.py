@@ -236,31 +236,22 @@ FaceParserFn = Callable[[jax.Array], jax.Array]  # image (B,3,H,W) → 19-class 
 
 def _run_g(g_params, z, c, rng, g_cfg: GeneratorConfig, swapping_prob,
            neural_rendering_resolution, stats_from_index=None,
-           stats_source=None):
-    """stats_source=(z0, c0): render the whole (micro-)batch wearing the
-    appearance statistics of the sample generated from (z0, c0) — recomputed
-    in-graph so gradients flow to that sample's planes. This is how the
-    histogram phase micro-batches: every chunk re-derives sample 0's stats
-    instead of needing the full batch resident (VERDICT r1 weak #4;
-    equivalent to ref loss.py:284 planes_mean=0 on the full batch because the
-    total loss is a sum of per-sample terms, each coupled to sample 0 only
-    through its statistics)."""
-    rng_swap, rng_synth = jax.random.split(rng)
-    planes_stats = None
-    if stats_source is not None:
-        z0, c0 = stats_source
-        ws0 = triplane.mapping(g_params, z0, c0, g_cfg)
-        planes0 = triplane.synthesize_planes(g_params, ws0, g_cfg,
-                                             noise_mode="const")
-        mean0, var0 = triplane.compute_mean_var(planes0)
-        planes_stats = (mean0, var0)
-        stats_from_index = None
+           style_mixing_prob: float = 0.0):
+    """Generator forward for the loss phases (ref loss.py:203-221 run_G):
+    pose-conditioning swap, mapping, optional style mixing (applied to the
+    mapped ws for every phase, matching ref loss.py:216-221 placement), then
+    synthesis. stats_from_index renders the whole batch wearing that
+    sample's appearance statistics (the histogram phase's planes_mean=0,
+    ref loss.py:284)."""
+    rng_swap, rng_synth, rng_mix = jax.random.split(rng, 3)
     c_cond = swap_conditioning(rng_swap, c, swapping_prob)
     ws = triplane.mapping(g_params, z, c_cond, g_cfg)
+    ws = style_mixing(rng_mix, g_params, ws, z, c_cond, g_cfg,
+                      style_mixing_prob)
     out = triplane.synthesis(
         g_params, ws, c, g_cfg,
         neural_rendering_resolution=neural_rendering_resolution,
-        stats_from_index=stats_from_index, planes_stats=planes_stats,
+        stats_from_index=stats_from_index,
         noise_mode="random", rng=rng_synth,
     )
     return out, ws
@@ -301,7 +292,8 @@ def g_main_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
     """Adversarial + segmentation supervision (ref loss.py:266-280)."""
     rng_g, rng_d = jax.random.split(rng)
     nrr = cfg.neural_rendering_resolution(cur_nimg)
-    gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg), nrr)
+    gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
+                        nrr, style_mixing_prob=cfg.style_mixing_prob)
     logits = _run_d(d_params, gen_img, c, d_cfg, cfg, cfg.blur_sigma(cur_nimg),
                     rng_d, ada_p=ada_p)
     loss_adv = jnp.mean(jax.nn.softplus(-logits))
@@ -323,11 +315,16 @@ def g_main_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
 def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
                d_cfg: DiscriminatorConfig, cfg: LossConfig,
                cur_nimg: int, include_density: bool = True,
-               ada_p=None, stats_source=None) -> Tuple[jax.Array, Dict]:
+               ada_p=None, adv_skip_first: bool = False) -> Tuple[jax.Array, Dict]:
     """Histogram color regularization on the statistics-swapped batch +
     adversarial term + density regularization (ref loss.py:283-419).
     include_density=False lets the caller backpropagate the density term
-    separately (the reference's split backwards)."""
+    separately (the reference's split backwards).
+
+    adv_skip_first: exclude sample 0 from the adversarial mean — used by the
+    micro-batched greg_step, which prepends the global target sample to every
+    chunk (sample 0 would otherwise be counted once per chunk where the
+    reference counts it once per batch)."""
     rng_g, rng_d, rng_dens = jax.random.split(rng, 3)
     nrr = cfg.neural_rendering_resolution(cur_nimg)
     stats: Dict = {}
@@ -335,10 +332,10 @@ def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
 
     if cfg.hist_weight > 0 or cfg.hist_adv > 0:
         # Whole batch re-rendered wearing sample 0's appearance statistics
-        # (ref loss.py:284: planes_mean=0, planes_var=0). When micro-batched,
-        # stats_source re-derives sample 0's stats inside each chunk.
+        # (ref loss.py:284: planes_mean=0, planes_var=0).
         gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
-                            nrr, stats_from_index=0, stats_source=stats_source)
+                            nrr, stats_from_index=0,
+                            style_mixing_prob=cfg.style_mixing_prob)
         if cfg.hist_weight > 0:
             if cfg.hist_type == "per_label":
                 loss_hist = (
@@ -352,7 +349,14 @@ def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
             stats["Loss/G/hist"] = loss_hist
             loss = loss + loss_hist * cfg.hist_weight
         if cfg.hist_adv > 0:
-            logits = _run_d(d_params, gen_img, c, d_cfg, cfg,
+            d_img, d_c = gen_img, c
+            if adv_skip_first:
+                # Drop the prepended target sample BEFORE the D forward: it
+                # would be over-counted across chunks, and the odd batch
+                # would break minibatch-std grouping.
+                d_img = {k: v[1:] for k, v in gen_img.items()}
+                d_c = c[1:]
+            logits = _run_d(d_params, d_img, d_c, d_cfg, cfg,
                             cfg.blur_sigma(cur_nimg), rng_d, ada_p=ada_p)
             loss_hist_adv = jnp.mean(jax.nn.softplus(-logits))
             stats["Loss/G/hist_loss"] = loss_hist_adv
@@ -432,7 +436,8 @@ def d_main_loss(d_params, g_params, z, c, real_img, real_c, rng, *,
     nrr = cfg.neural_rendering_resolution(cur_nimg)
     blur_sigma = cfg.blur_sigma(cur_nimg)
 
-    gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg), nrr)
+    gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
+                        nrr, style_mixing_prob=cfg.style_mixing_prob)
     gen_img = jax.lax.stop_gradient(gen_img)
     gen_logits = _run_d(d_params, gen_img, c, d_cfg, cfg, blur_sigma, rng_d1,
                         ada_p=ada_p)

@@ -199,11 +199,16 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     phase, loss.py:307,331) — halves the peak activation memory vs one
     fused backward.
 
-    microbatch>1 chunks the histogram render over the batch: each chunk
-    re-derives sample 0's appearance statistics in-graph (stats_source), so
-    every sample's gradient still couples to sample 0's planes while peak
-    activation memory is one chunk (VERDICT r1 weak #4). microbatch=1 keeps
-    the reference-exact within-batch stats path."""
+    microbatch>1 chunks the histogram render over the batch: the global
+    (z0, c0) sample is PREPENDED to every chunk, so each chunk renders
+    wearing global sample 0's appearance statistics (gradients flow to its
+    planes) and every chunk sample's histogram target is global sample 0's —
+    including chunk-first samples, which a chunk-local target would silently
+    drop. Sample 0's extra adversarial logit per chunk is excluded
+    (adv_skip_first). The remaining deviation from the full-batch reference
+    value is the Hellinger distance's sqrt-of-sum, taken per chunk instead
+    of over the whole batch — a documented approximation, not a dropped
+    gradient. microbatch=1 keeps the reference-exact path."""
     rng_hist, rng_dens = jax.random.split(rng)
     stats: Dict = {}
 
@@ -221,13 +226,19 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
         z0, c0 = z[:1], gen_c[:1]
 
         def grad_fn(g_params, r, z_, c_):
+            # Global target sample joins every chunk: stats_from_index=0 then
+            # couples the chunk to ITS planes and the (stop-gradient)
+            # histogram target is ITS histogram — see docstring.
+            z_cat = jnp.concatenate([z0, z_], axis=0)
+            c_cat = jnp.concatenate([c0, c_], axis=0)
+
             def loss_fn(p):
               with jax.named_scope("Greg_hist_forward"):
                 return loss_mod.g_reg_loss(
-                    p, state.d_params, z_, c_, r, g_cfg=g_cfg, d_cfg=d_cfg,
+                    p, state.d_params, z_cat, c_cat, r, g_cfg=g_cfg, d_cfg=d_cfg,
                     cfg=loss_cfg, cur_nimg=cur_nimg_static,
                     include_density=False, ada_p=ada_p,
-                    stats_source=(z0, c0))
+                    adv_skip_first=True)
             return jax.value_and_grad(loss_fn, has_aux=True)(g_params)
 
         grads, s = _microbatched_grads(grad_fn, state.g_params, (z, gen_c),

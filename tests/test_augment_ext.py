@@ -121,6 +121,25 @@ class TestDiscriminatorVariants:
 
 
 class TestDatasetTool:
+    def test_center_crop_wide_letterboxes(self):
+        """center-crop-wide (ref dataset_tool.py:240-252): the 2:1 content
+        lands letterboxed on a black square canvas — never stretched — and
+        undersized inputs are rejected (None)."""
+        import PIL.Image
+
+        from nerffaceediting_tpu.apps.dataset_tool import transform_image
+
+        white = PIL.Image.new("RGB", (64, 40), (255, 255, 255))
+        out = transform_image(white, 16, "center-crop-wide")
+        arr = np.asarray(out)
+        assert arr.shape == (16, 16, 3)
+        # top/bottom 4-row bars are black, the center 8 rows carry content
+        assert arr[:4].max() == 0 and arr[-4:].max() == 0
+        assert arr[4:12].min() == 255
+        # too-small input (w < resolution) is rejected, not upscaled
+        tiny = PIL.Image.new("RGB", (8, 8), (255, 255, 255))
+        assert transform_image(tiny, 16, "center-crop-wide") is None
+
     def test_roundtrip(self, tmp_path):
         import PIL.Image
 
@@ -167,9 +186,9 @@ class TestTrainCLI:
 
 class TestFreezeD:
     def test_mask_ordering_and_step(self):
-        """freeze_d_mask freezes fromrgb→conv0→conv1 from the top block
-        (ref networks_stylegan2.py:585-592), and a dreg step leaves frozen
-        params untouched."""
+        """freeze_d_mask freezes fromrgb→conv0→conv1→skip from the top block
+        (ref networks_stylegan2.py:585-607 threads trainable_iter through all
+        four), and a dreg step leaves frozen params untouched."""
         import dataclasses
 
         import jax.numpy as jnp
@@ -182,12 +201,15 @@ class TestFreezeD:
                                   freezed=4)
         params = init_dual_discriminator(jax.random.key(0), cfg)
         mask = freeze_d_mask(params, cfg)
-        # top block (b32): fromrgb, conv0, conv1 frozen (3) + b16 conv0 (1)
+        # top block (b32): fromrgb, conv0, conv1, skip frozen (4 layers) —
+        # the resnet skip freezes with its block; b16 starts trainable
         assert not mask["b32"]["fromrgb"]["weight"]
         assert not mask["b32"]["conv0"]["weight"]
         assert not mask["b32"]["conv1"]["weight"]
-        assert not mask["b16"]["conv0"]["weight"]
+        assert not mask["b32"]["skip"]["weight"]
+        assert mask["b16"]["conv0"]["weight"]
         assert mask["b16"]["conv1"]["weight"]
+        assert mask["b16"]["skip"]["weight"]
         assert mask["b4"]["fc"]["weight"]
 
         from nerffaceediting_tpu.models import triplane

@@ -182,3 +182,60 @@ class TestGregMicrobatch:
             delta = np.abs(np.asarray(s.g_params["mapping"]["fc0"]["weight"])
                            - np.asarray(g_params["mapping"]["fc0"]["weight"])).max()
             assert delta > 0
+
+    def test_chunk_first_sample_gets_hist_gradient(self):
+        """The prepend-global-sample chunking (ADVICE r2): every chunk sample
+        — including the chunk's own first — receives a histogram gradient
+        against GLOBAL sample 0's histogram."""
+        from nerffaceediting_tpu.train.loss import g_reg_loss
+
+        g_cfg, d_cfg = tiny_setup()
+        loss_cfg = LossConfig(hist_adv=0.0, hist_weight=30.0,
+                              hist_type="whole", gpc_reg_prob=None)
+        g_params = triplane.init_generator(jax.random.key(0), g_cfg)
+        d_params = init_dual_discriminator(jax.random.key(1), d_cfg)
+        z = jax.random.normal(jax.random.key(2), (4, g_cfg.z_dim))
+        c = jax.random.normal(jax.random.key(3), (4, 25)) * 0.1
+        z0, c0 = z[:1], c[:1]
+
+        def chunk_loss(z_chunk):
+            # chunk 1 of a microbatch=2 split: global samples 2, 3
+            z_cat = jnp.concatenate([z0, z_chunk], axis=0)
+            c_cat = jnp.concatenate([c0, c[2:4]], axis=0)
+            loss, _ = g_reg_loss(
+                g_params, d_params, z_cat, c_cat, jax.random.key(4),
+                g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=0,
+                include_density=False, adv_skip_first=True)
+            return loss
+
+        g = jax.jit(jax.grad(chunk_loss))(z[2:4])
+        g = np.asarray(g)
+        # chunk-first (global sample 2) must get a nonzero hist gradient —
+        # the chunk-local-target scheme gave it exactly zero
+        assert np.abs(g[0]).max() > 0
+        assert np.abs(g[1]).max() > 0
+
+
+class TestStyleMixing:
+    def test_mixing_applies_in_run_g(self):
+        """style_mixing_prob now acts inside _run_g for every G phase
+        (ref loss.py:216-221): with prob=1 the ws rows beyond the cutoff come
+        from an independent latent, while row 0 is always unmixed."""
+        from nerffaceediting_tpu.train.loss import _run_g
+
+        g_cfg, _ = tiny_setup()
+        g_params = triplane.init_generator(jax.random.key(0), g_cfg)
+        z = jax.random.normal(jax.random.key(2), (2, g_cfg.z_dim))
+        c = jax.random.normal(jax.random.key(3), (2, 25)) * 0.1
+
+        _, ws_mixed = _run_g(g_params, z, c, jax.random.key(4), g_cfg,
+                             None, g_cfg.neural_rendering_resolution,
+                             style_mixing_prob=1.0)
+        _, ws_plain = _run_g(g_params, z, c, jax.random.key(4), g_cfg,
+                             None, g_cfg.neural_rendering_resolution,
+                             style_mixing_prob=0.0)
+        ws_mixed, ws_plain = np.asarray(ws_mixed), np.asarray(ws_plain)
+        # cutoff >= 1: the first ws row is never replaced
+        np.testing.assert_array_equal(ws_mixed[:, 0], ws_plain[:, 0])
+        # prob=1 guarantees mixing: the last row comes from the fresh latent
+        assert np.abs(ws_mixed[:, -1] - ws_plain[:, -1]).max() > 1e-6

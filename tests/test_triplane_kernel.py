@@ -183,6 +183,30 @@ class TestWindowedFastPath:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_pinned_coherent_violation_fails_loudly(self):
+        """coherent=True on a predicate-violating point set must NaN-poison
+        the output (ADVICE r2) — never silently decode zero samples."""
+        from nerffaceediting_tpu.ops.triplane_kernel import fast_path_pred
+
+        rng = np.random.default_rng(15)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 16, 64, 64)).astype(np.float32))
+        # incoherent points + a ray_shape claim: tiles span the whole plane
+        coords = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 2048, 3)).astype(np.float32))
+        hwc = planes.reshape(3, 16, 64, 64).transpose(0, 2, 3, 1)
+        assert not bool(fast_path_pred(hwc, coords, ray_shape=(16, 16, 8)))
+        out = sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                       ray_shape=(16, 16, 8), coherent=True,
+                                       interpret=True, compute_dtype=jnp.float32)
+        assert np.isnan(np.asarray(out)).all()
+        # and a coherent set under the same pin stays finite + golden
+        good = self._ray_coords(np.random.default_rng(16))
+        ref = sample_from_planes(planes, good, box_warp=1.0)
+        out2 = sample_from_planes_fused(planes, good, box_warp=1.0,
+                                        ray_shape=(16, 16, 8), coherent=True,
+                                        interpret=True, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_grid_order_coords_fall_back_correctly(self):
         """G.sample()-style full-line shape grids span the whole plane per
         256-point run — the dispatch must fall back and stay golden."""
