@@ -36,7 +36,7 @@ def main():
     from nerffaceediting_tpu.config import ffhq_generator_config
     from nerffaceediting_tpu.models import triplane
     from nerffaceediting_tpu.editing.api import (
-        decode, encode, swap_appearance_stats)
+        decode, encode, plane_canvas, swap_appearance_stats)
     from nerffaceediting_tpu.render.cameras import (
         camera_params, fov_to_intrinsics, lookat_pose)
 
@@ -77,6 +77,9 @@ def main():
     @jax.jit
     def edited_orbit(params, planes_src, planes_sty, ws, cams):
         norm, stats = swap_appearance_stats(planes_src, planes_sty)
+        # ONE canvas build per orbit, OUTSIDE the frame scan (r3: XLA does
+        # not hoist the build out of the scan body — was ~5 ms/frame).
+        canvas = plane_canvas(norm)
 
         def body(carry, cam_group):
             # serving config: statically-coherent windowed kernel (validated
@@ -86,7 +89,7 @@ def main():
             for k in range(GROUP):
                 out = decode(params, ws, cam_group[k][None], norm, None, cfg,
                              plane_stats=stats, coherent=True,
-                             fused_decoder=True)
+                             fused_decoder=True, canvas=canvas)
                 # scalar checksum forces execution; frames would stream to
                 # the encoder in production
                 acc = acc + jnp.sum(out["image"])

@@ -50,6 +50,18 @@ def swap_appearance(planes_src: jax.Array, planes_style: jax.Array):
     return norm_src, denormalize_plane(norm_src, mean_sty, var_sty)
 
 
+def plane_canvas(norm_planes: jax.Array):
+    """Prebuild the windowed-kernel canvas for an identity's (normalized)
+    planes — build ONCE per editing session / trajectory and pass to
+    `decode(..., canvas=)`: XLA does not hoist the ~5 ms canvas build out
+    of a frame scan (measured, scripts/bench_serving_split.py)."""
+    from ..ops.triplane_kernel import build_plane_canvas
+
+    N, n_p, C, H, W = norm_planes.shape
+    hwc = norm_planes.reshape(N * n_p, C, H, W).transpose(0, 2, 3, 1)
+    return build_plane_canvas(hwc)
+
+
 def swap_appearance_stats(planes_src: jax.Array, planes_style: jax.Array):
     """Like swap_appearance, but returns (norm_planes, (mean, var)) with the
     stats shaped (B, 3, C) for the renderer's σ/μ-rematerialization fast path
@@ -90,9 +102,11 @@ def render_video(params, ws, norm_planes, cfg: GeneratorConfig,
 
     @jax.jit
     def orbit(params, ws, norm_planes, stats, cams):
+        canvas = plane_canvas(norm_planes)  # once per orbit, not per frame
+
         def frame(_, cam):
             out = decode(params, ws, cam[None], norm_planes, None, cfg,
-                         plane_stats=stats)
+                         plane_stats=stats, canvas=canvas)
             return None, out["image"][0]
 
         _, frames = jax.lax.scan(frame, None, cams)

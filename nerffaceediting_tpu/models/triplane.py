@@ -147,12 +147,18 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
                   plane_stats: Optional[Tuple[jax.Array, jax.Array]] = None,
                   coherent: Optional[bool] = None,
                   fused_decoder: bool = False,
+                  canvas: Optional[jax.Array] = None,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Planes + camera → frame dict. This is the editing decode()
     (ref utils.py:165-199) and the second half of synthesis().
 
     norm_planes/denorm_planes: (B, 3, 32, H, W); c: (B, 25) camera params
     (16 cam2world + 9 intrinsics); ws_sr: ws for the SR module (B, ≥1, 512).
+
+    canvas: prebuilt window canvas (ops.triplane_kernel.build_plane_canvas)
+    for the Pallas fast path. Orbit renderers MUST pass it: XLA does not
+    hoist the ~5 ms/frame canvas build out of a frame scan (measured,
+    scripts/bench_serving_split.py r3).
     """
     res = neural_rendering_resolution or cfg.neural_rendering_resolution
     cam2world = c[:, :16].reshape(-1, 4, 4)
@@ -164,7 +170,7 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
         _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
         ray_origins, ray_dirs, cfg.rendering, rng=rng_render,
         plane_stats=plane_stats, coherent=coherent,
-        fused_decoder=fused_decoder,
+        fused_decoder=fused_decoder, canvas=canvas,
     )
 
     B = feats.shape[0]

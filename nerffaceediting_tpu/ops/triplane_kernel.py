@@ -665,6 +665,76 @@ def _fused_decode_kernel(bidx_ref, pts0_ref, pts1_ref, pts2_ref,
     out_ref[0] = jnp.concatenate([g, rgb], axis=0)
 
 
+def _effective_decoder(decoder_params, plane_stats, C: int,
+                       lr_multiplier: float):
+    """Equalized-lr effective decoder weights (models/layers.fully_connected
+    formula) + packed plane stats for the fused kernel."""
+    def eff(p_net):
+        w0 = p_net["fc0"]["weight"]
+        w1 = p_net["fc1"]["weight"]
+        g0 = lr_multiplier / float(w0.shape[1]) ** 0.5
+        g1 = lr_multiplier / float(w1.shape[1]) ** 0.5
+        return (w0 * g0,
+                (p_net["fc0"]["bias"] * lr_multiplier).reshape(-1, 1),
+                w1 * g1,
+                (p_net["fc1"]["bias"] * lr_multiplier).reshape(-1, 1))
+
+    w0g, b0g, w1g, b1g = eff(decoder_params["geo_net"])
+    w0a, b0a, w1a, b1a = eff(decoder_params["app_net"])
+    mean, var = plane_stats
+    stats = jnp.stack([mean.reshape(3, C), var.reshape(3, C)], axis=1)
+    return w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a, stats
+
+
+def _decode_call_for_bench(bidx, pts, canvas, decoder_params, plane_stats, *,
+                           lr_multiplier: float = 1.0,
+                           tile_p: int = DEFAULT_TILE_P,
+                           compute_dtype=jnp.bfloat16):
+    """Bench-only: the fused decode pallas call on PRE-TILED pts/bidx —
+    isolates the kernel from coord prep and untile (scripts/
+    bench_serving_split.py)."""
+    C = canvas.shape[2] // _WX
+    w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a, stats = _effective_decoder(
+        decoder_params, plane_stats, C, lr_multiplier)
+    OUT = w1g.shape[0] + w1a.shape[0]
+    kernel = functools.partial(_fused_decode_kernel, C=C, tile_p=tile_p,
+                               compute_dtype=jnp.dtype(compute_dtype))
+    nt_c = pts.shape[2] // tile_p
+    full = lambda a: pl.BlockSpec(a.shape, lambda j, b: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt_c,),
+        in_specs=[
+            pl.BlockSpec((1, 5, tile_p), lambda j, b: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, tile_p), lambda j, b: (1, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, tile_p), lambda j, b: (2, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (0, b[0, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (1, b[1, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (2, b[2, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(stats), full(w0g), full(b0g), full(w1g), full(b1g),
+            full(w0a), full(b0a), full(w1a), full(b1a),
+        ],
+        out_specs=pl.BlockSpec((1, OUT, tile_p), lambda j, b: (0, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, OUT, pts.shape[2]), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bidx, pts[0:1], pts[1:2], pts[2:3], canvas, canvas, canvas,
+      stats, w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
+
+
 def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
                            decoder_params, plane_stats, *,
                            box_warp: float = 1.0,
@@ -729,22 +799,8 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     if canvas is None:
         canvas = build_plane_canvas(planes_hwc, compute_dtype)
 
-    # equalized-lr effective weights (models/layers.fully_connected formula)
-    def eff(p_net):
-        w0 = p_net["fc0"]["weight"]
-        w1 = p_net["fc1"]["weight"]
-        g0 = lr_multiplier / float(w0.shape[1]) ** 0.5
-        g1 = lr_multiplier / float(w1.shape[1]) ** 0.5
-        return (w0 * g0,
-                (p_net["fc0"]["bias"] * lr_multiplier).reshape(-1, 1),
-                w1 * g1,
-                (p_net["fc1"]["bias"] * lr_multiplier).reshape(-1, 1))
-
-    w0g, b0g, w1g, b1g = eff(decoder_params["geo_net"])
-    w0a, b0a, w1a, b1a = eff(decoder_params["app_net"])
-    mean, var = plane_stats
-    stats = jnp.stack([mean.reshape(3, C), var.reshape(3, C)], axis=1)
-
+    w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a, stats = _effective_decoder(
+        decoder_params, plane_stats, C, lr_multiplier)
     SEG = w1g.shape[0] - 1
     RGB = w1a.shape[0]
     OUT = 1 + SEG + RGB

@@ -51,9 +51,31 @@ def main():
         cams[:1], cfg), cfg)
     norm, stats = swap_appearance_stats(planes, sty)
 
-    fn = jax.jit(lambda p, w, c, n: decode_frames(
-        p, w, c, n, None, cfg, plane_stats=stats, coherent=True,
-        fused_decoder=True))
+    # bench.py's scan program (GROUP frames per body): the unrolled
+    # decode_frames program SIGABRTs this image's compiler (llo::CouldLtS32
+    # in the pipeline emitter) for F >= 2 — the scan form is also the
+    # program the headline bench actually runs.
+    from nerffaceediting_tpu.editing.api import decode, plane_canvas
+
+    GROUP = min(4, F)
+    assert F % GROUP == 0
+
+    def fn_inner(p, w, c, n):
+        canvas = plane_canvas(n)  # mirrors bench.py: one build per orbit
+
+        def body(carry, cam_group):
+            acc = carry
+            for k in range(GROUP):
+                out = decode(p, w, cam_group[k][None], n, None, cfg,
+                             plane_stats=stats, coherent=True,
+                             fused_decoder=True, canvas=canvas)
+                acc = acc + jnp.sum(out["image"])
+            return acc, None
+
+        acc, _ = lax.scan(body, 0.0, c.reshape(-1, GROUP, c.shape[-1]))
+        return acc
+
+    fn = jax.jit(fn_inner)
     lowered = fn.lower(params, ws, cams, norm)
     comp = lowered.compile()
     hlo = comp.as_text()
@@ -97,13 +119,58 @@ def main():
                 and tid_names.get((e["pid"], e["tid"])) == "XLA Ops"):
             durs[e["name"]] += e["dur"]
 
-    total = sum(durs.values())
-    print(f"total op time: {total / 3e3:.2f} ms/call "
-          f"({total / (3e3 * F):.2f} ms/frame, F={F})")
-    for name, d in durs.most_common(28):
+    # The while op's duration INCLUDES its children (both appear as X
+    # events), so drop control-flow containers from totals and attribute
+    # the real leaf time by JAX source metadata (stage rollup).
+    containers = {n for n in durs
+                  if n.split(".")[0] in ("while", "conditional", "call")}
+    leaf = {n: d for n, d in durs.items() if n not in containers}
+    total = sum(leaf.values())
+    print(f"leaf op time: {total / 3e3:.2f} ms/call "
+          f"({total / (3e3 * F):.2f} ms/frame, F={F}); "
+          f"containers: {[(n, round(durs[n] / (3e3 * F), 2)) for n in containers]}")
+
+    def stage_of(name):
+        _, _, op_name = meta.get(name, ("?", "?", ""))
+        base = name.split(".")[0]
+        for key, tag in (
+                ("triplane_sample_decode", "fused-kernel+prep+untile"),
+                ("_untile_perm", "untile"),
+                ("build_plane_canvas", "canvas-build"),
+                ("_build_canvas", "canvas-build"),
+                ("superresolution", "SR"),
+                ("mip_ray_marcher", "marcher"),
+                ("_composite", "marcher"),
+                ("unify_samples", "merge"),
+                ("sample_pdf", "pdf"),
+                ("sample_importance", "pdf"),
+                ("sample_stratified", "depths"),
+                ("sample_rays", "ray-sampler"),
+                ("get_ray_limits_box", "ray-bounds"),
+                ("plane_canvas", "canvas-build"),
+        ):
+            if key in op_name:
+                return tag
+        if base in ("custom-call",) or "pallas" in op_name:
+            return "fused-kernel"
+        if op_name:
+            # last two path segments of the jax source scope
+            parts = op_name.strip("/").split("/")
+            return "~" + "/".join(parts[-2:])[:46]
+        return "~unattributed:" + name.split(".")[0]
+
+    stages = collections.Counter()
+    for n, d in leaf.items():
+        stages[stage_of(n)] += d
+    print("\n-- stage rollup (ms/frame) --")
+    for s, d in stages.most_common(24):
+        print(f"{d / (3e3 * F):7.3f}  {s}")
+
+    print("\n-- top leaf ops --")
+    for name, d in collections.Counter(leaf).most_common(32):
         kind, shape, op_name = meta.get(name, ("?", "?", ""))
-        print(f"{d / (3e3 * F):7.3f} ms/f  {name[:30]:<30} {shape[:34]:<34} "
-              f"{op_name[-58:]}")
+        print(f"{d / (3e3 * F):7.3f} ms/f  {name[:28]:<28} {shape[:30]:<30} "
+              f"{op_name[-64:]}")
 
 
 if __name__ == "__main__":
