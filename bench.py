@@ -61,7 +61,10 @@ def main():
     # device program (lax.scan over frames) — the production video path.
     # Per-dispatch tunnel latency (~30-40 ms in this environment) would
     # otherwise dominate; a real serving system amortizes it the same way.
-    n_frames = 16
+    # 64 frames ≈ one second of orbit video per dispatch: long enough to
+    # amortize the ~35-40 ms tunnel dispatch + per-orbit canvas build that
+    # a 16-frame orbit left visible (~2.5 ms/frame, measured r3).
+    n_frames = 64
     cams = jnp.concatenate([
         camera_params(
             lookat_pose(np.pi / 2 + 0.4 * np.sin(2 * np.pi * i / n_frames),

@@ -188,12 +188,11 @@ def decode_frames(params, ws, cams, norm_planes, denorm_planes,
             cfg.rendering, rng=None, plane_stats=plane_stats,
             ray_grid=(F * res, res), coherent=coherent)
 
-    feature_image = feats.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
     seg_image = segs.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
     depth_image = depths.reshape(F, res, res, 1).transpose(0, 3, 1, 2)
-    rgb_image = feature_image[:, :3]
-
     ws_sr = jnp.broadcast_to(ws, (F,) + ws.shape[1:])
+    feature_image = feats.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
+    rgb_image = feature_image[:, :3]
     sr_image = superresolution(
         params["superresolution"], rgb_image, feature_image, ws_sr,
         variant=cfg.rendering.superresolution_module,

@@ -5,11 +5,12 @@ variant additionally composites semantic-mask logits with the same weights —
 this is what makes the rendered segmentation 3D-consistent.
 
 TPU lowering note: the transmittance cumprod is computed in log space as an
-exclusive cumsum via one tiny strictly-lower-triangular f32 matmul
-(T = exp(L·M), L = log(1−α+1e-10)). XLA lowers jnp.cumprod on this layout
-to a sequential while loop (~0.7 ms/frame at the serving shapes, measured
-scripts/bench_march_variants.py); the (S−1)² matmul reformulation measures
-at the noise floor. Agreement with the cumprod form is ≤ 3.5e-6 maxabs.
+exclusive cumsum (T = exp(cumsum(log(1−α+1e-10)) − log(...))): XLA lowers
+jnp.cumprod on this layout to a sequential while loop (~1.4 ms/frame at the
+serving shapes) but lowers cumsum to an efficient parallel prefix (at the
+measurement noise floor; both variants + a triangular-matmul alternative
+measured in scripts/bench_march_variants.py). Agreement with the cumprod
+form is ≤ 1.2e-7 maxabs.
 """
 
 from __future__ import annotations
@@ -18,7 +19,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _composite(colors, densities, depths, segs=None, *, clamp_mode: str = "softplus",
@@ -39,13 +39,9 @@ def _composite(colors, densities, depths, segs=None, *, clamp_mode: str = "softp
     alpha = 1 - jnp.exp(-density_delta)
 
     # Transmittance T[s] = Π_{j<s} (1−α_j+1e-10) as exp of an EXCLUSIVE
-    # log-cumsum via a strictly-lower-triangular matmul (see module
-    # docstring). HIGHEST keeps the f32 log sums exact through the MXU.
+    # log-cumsum (see module docstring).
     logs = jnp.log(1.0 - alpha + 1e-10)[..., 0]          # (B, R, S-1)
-    n = logs.shape[-1]
-    tri = jnp.asarray(np.tril(np.ones((n, n), np.float32), -1))
-    csum = jnp.einsum("brj,sj->brs", logs, tri,
-                      precision=jax.lax.Precision.HIGHEST)
+    csum = jnp.cumsum(logs, axis=-1) - logs              # exclusive
     weights = alpha * jnp.exp(csum)[..., None]
 
     composite_rgb = jnp.sum(weights * colors_mid, axis=-2)

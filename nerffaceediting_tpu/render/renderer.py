@@ -246,6 +246,82 @@ def unify_samples(depths1, depths2, *value_pairs, assume_sorted: bool = True):
     return tuple(outs)
 
 
+def composite_two_pass(depths1, depths2, colors, densities, segs=None, *,
+                       clamp_mode: str = "softplus", white_back: bool = False):
+    """Fused coarse+fine merge + ray march WITHOUT permuting the payload —
+    the inference fast path replacing unify_samples → seg_mip_ray_marcher.
+
+    Semantically identical to merging the two sorted per-ray sample lists
+    (ref renderer.py:288-300) and compositing (ref ray_marcher.py:20-107),
+    but exploits that the composite is LINEAR in the per-sample values:
+
+        out_c = Σ_i w_i · mid_i(P·v)_c = Σ_j (Pᵀ Aᵀ w)_j · v_{j,c}
+
+    so only the 1-channel quantities (depth, σ) are merged to compute the
+    marcher weights w, which are then pulled back through the permutation
+    (u = PᵀAᵀw) and applied directly to the UNMERGED coarse/fine tensors.
+    This removes the (B,R,S,ΣC) payload concat+permute (~2.5 ms/frame and
+    the dominant HBM cost of the non-kernel render, HLO-profiled r3).
+
+    depths1/2: (B, R, S1/S2, 1) per-ray sorted; colors/densities/segs:
+    pairs of (B, R, S*, C) tensors. Returns (rgb, seg|None, depth, wsum).
+    """
+    assert clamp_mode == "softplus"
+    d1 = depths1[..., 0]
+    d2 = depths2[..., 0]
+    S1 = d1.shape[-1]
+    S2 = d2.shape[-1]
+    S = S1 + S2
+    # merged rank of every input element (ties put list-1 first)
+    less = d2[..., None, :] < d1[..., :, None]
+    rank1 = jnp.arange(S1) + jnp.sum(less, axis=-1)
+    leq = d1[..., None, :] <= d2[..., :, None]
+    rank2 = jnp.arange(S2) + jnp.sum(leq, axis=-1)
+    ranks = jnp.concatenate([rank1, rank2], axis=-1)        # (B, R, S)
+    out_pos = jnp.arange(S)
+    eq = out_pos[..., :, None] == ranks[..., None, :]       # (B, R, S out, S in)
+
+    # 1-channel merges (compare-select reduces — no payload traffic)
+    d_all = jnp.concatenate([d1, d2], axis=-1)              # (B, R, S)
+    s_all = jnp.concatenate([densities[0][..., 0], densities[1][..., 0]],
+                            axis=-1)
+    m_d = jnp.sum(jnp.where(eq, d_all[..., None, :], 0.0), axis=-1)
+    m_s = jnp.sum(jnp.where(eq, s_all[..., None, :], 0.0), axis=-1)
+
+    # marcher weights in merged space (ref ray_marcher.py:26-45 semantics)
+    deltas = m_d[..., 1:] - m_d[..., :-1]
+    sigma_mid = jax.nn.softplus((m_s[..., :-1] + m_s[..., 1:]) * 0.5 - 1)
+    alpha = 1 - jnp.exp(-sigma_mid * deltas)                # (B, R, S-1)
+    logs = jnp.log(1.0 - alpha + 1e-10)
+    T = jnp.exp(jnp.cumsum(logs, axis=-1) - logs)           # exclusive
+    w = alpha * T                                           # (B, R, S-1)
+    wt = jnp.sum(w, axis=-1, keepdims=True)                 # (B, R, 1)
+
+    # midpoint-accumulation coefficients c = Aᵀw, pulled back to input
+    # order u = Pᵀc (each input j contributes 0.5·(w_{r-1}+w_r) at r=rank_j)
+    c = 0.5 * (jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
+               + jnp.pad(w, ((0, 0), (0, 0), (1, 0))))      # (B, R, S)
+    u = jnp.sum(jnp.where(eq, c[..., :, None], 0.0), axis=-2)  # (B, R, S in)
+    u1 = u[..., :S1]
+    u2 = u[..., S1:]
+
+    def weighted(pair):
+        return (jnp.einsum("brs,brsc->brc", u1, pair[0])
+                + jnp.einsum("brs,brsc->brc", u2, pair[1]))
+
+    composite_rgb = weighted(colors)
+    composite_seg = None if segs is None else weighted(segs)
+    composite_depth = (jnp.einsum("brs,brs->br", u, d_all)[..., None] / wt)
+    composite_depth = jnp.where(jnp.isnan(composite_depth), jnp.inf,
+                                composite_depth)
+    composite_depth = jnp.clip(composite_depth, jnp.min(d_all), jnp.max(d_all))
+
+    if white_back:
+        composite_rgb = composite_rgb + 1 - wt
+    composite_rgb = composite_rgb * 2 - 1
+    return composite_rgb, composite_seg, composite_depth, wt
+
+
 # ---------------------------------------------------------------------------
 # Renderer
 
@@ -435,11 +511,19 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         depths_fine = sample_importance(rngs[2], depths_coarse, weights, N_imp)
         colors_f, densities_f, segs_f = eval_at(depths_fine, rngs[3])
 
-        # Inference (rng=None): one-hot MXU merge (2 ms vs 30 ms sort).
-        # Training: the (B,R,S,S) one-hot is a ~150 MB fp32 residual per
-        # batch even under remat — the sort path is the memory-right choice
+        # Inference (rng=None): fused merge+march via the weight pull-back
+        # (composite_two_pass) — merges only depth/σ, never the payload.
+        # Training: the rank/one-hot structures are large residuals even
+        # under remat — the sort path is the memory-right choice
         # (VERDICT r1 weak #7).
         merge_fast = rng is None
+        if merge_fast:
+            rgb, seg, depth, wsum = composite_two_pass(
+                depths_coarse, depths_fine, (colors_c, colors_f),
+                (densities_c, densities_f),
+                (segs_c, segs_f) if use_seg else None,
+                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+            return rgb, seg, depth, wsum
         if use_seg:
             all_depths, all_colors, all_densities, all_segs = unify_samples(
                 depths_coarse, depths_fine,

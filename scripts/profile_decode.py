@@ -57,7 +57,8 @@ def main():
     # program the headline bench actually runs.
     from nerffaceediting_tpu.editing.api import decode, plane_canvas
 
-    GROUP = min(4, F)
+    GROUP = int(os.environ.get("GROUP", "4"))
+    GROUP = min(GROUP, F)
     assert F % GROUP == 0
 
     def fn_inner(p, w, c, n):
@@ -80,16 +81,19 @@ def main():
     comp = lowered.compile()
     hlo = comp.as_text()
 
-    # name → (kind, dtype+shape, metadata)
+    # name → (kind, dtype+shape, metadata). Shape may be a tuple with spaces
+    # ("(f32[4]{0}, s32[])"), so match the kind as the token directly before
+    # the "(" and take everything between "=" and it as the shape.
     meta = {}
     pat = re.compile(
-        r"%?([\w.\-]+) = (\S+) (\w+)\(.*?(?:metadata=\{op_name=\"([^\"]*)\")?",
-    )
+        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+(.*?)\s+([\w\-]+)\(")
+    mpat = re.compile(r"metadata=\{[^}]*op_name=\"([^\"]*)\"")
     for line in hlo.splitlines():
-        m = pat.search(line)
+        m = pat.match(line)
         if m:
-            name, shape, kind, op_name = m.groups()
-            meta[name] = (kind, shape, op_name or "")
+            name, shape, kind = m.groups()
+            om = mpat.search(line)
+            meta[name] = (kind, shape, om.group(1) if om else "")
 
     out = fn(params, ws, cams, norm)
     jax.block_until_ready(out)
@@ -119,11 +123,12 @@ def main():
                 and tid_names.get((e["pid"], e["tid"])) == "XLA Ops"):
             durs[e["name"]] += e["dur"]
 
-    # The while op's duration INCLUDES its children (both appear as X
-    # events), so drop control-flow containers from totals and attribute
-    # the real leaf time by JAX source metadata (stage rollup).
+    # Container ops (while/call/conditional — e.g. the remat-wrapped eval
+    # calls named "checkpoint.N") have durations that INCLUDE their children,
+    # which appear as separate X events; classify by HLO kind, not name.
     containers = {n for n in durs
-                  if n.split(".")[0] in ("while", "conditional", "call")}
+                  if meta.get(n, ("?",))[0] in ("while", "conditional", "call")
+                  or n.split(".")[0] in ("while", "conditional", "call")}
     leaf = {n: d for n, d in durs.items() if n not in containers}
     total = sum(leaf.values())
     print(f"leaf op time: {total / 3e3:.2f} ms/call "

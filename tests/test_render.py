@@ -297,3 +297,62 @@ class TestRenderRays:
         assert depth.shape == (1, 16, 1)
         for t in (rgb, seg, depth, wsum):
             assert np.all(np.isfinite(np.asarray(t)))
+
+
+class TestCompositeTwoPass:
+    """composite_two_pass (fused merge+march via weight pull-back) must be
+    numerically equivalent to unify_samples → seg_mip_ray_marcher."""
+
+    def _inputs(self, seed=0, B=2, R=17, S1=9, S2=7, C=5, K=4):
+        key = jax.random.key(seed)
+        ks = jax.random.split(key, 8)
+        d1 = jnp.sort(jax.random.uniform(ks[0], (B, R, S1, 1)) + 2.0, axis=2)
+        d2 = jnp.sort(jax.random.uniform(ks[1], (B, R, S2, 1)) + 2.0, axis=2)
+        c1 = jax.random.normal(ks[2], (B, R, S1, C))
+        c2 = jax.random.normal(ks[3], (B, R, S2, C))
+        s1 = jax.random.normal(ks[4], (B, R, S1, 1))
+        s2 = jax.random.normal(ks[5], (B, R, S2, 1))
+        g1 = jax.random.normal(ks[6], (B, R, S1, K))
+        g2 = jax.random.normal(ks[7], (B, R, S2, K))
+        return d1, d2, (c1, c2), (s1, s2), (g1, g2)
+
+    @pytest.mark.parametrize("white_back", [False, True])
+    def test_matches_unify_plus_march(self, white_back):
+        from nerffaceediting_tpu.render.renderer import (composite_two_pass,
+                                                         unify_samples)
+        from nerffaceediting_tpu.render.ray_marcher import seg_mip_ray_marcher
+
+        d1, d2, colors, densities, segs = self._inputs()
+        all_d, all_c, all_s, all_g = unify_samples(
+            d1, d2, colors, densities, segs, assume_sorted=True)
+        rgb0, seg0, dep0, w0 = seg_mip_ray_marcher(
+            all_c, all_g, all_s, all_d, clamp_mode="softplus",
+            white_back=white_back)
+        rgb1, seg1, dep1, wt1 = composite_two_pass(
+            d1, d2, colors, densities, segs, clamp_mode="softplus",
+            white_back=white_back)
+        np.testing.assert_allclose(rgb1, rgb0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(seg1, seg0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(dep1, dep0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(wt1, jnp.sum(w0, axis=2), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_no_seg_and_duplicate_depths(self):
+        from nerffaceediting_tpu.render.renderer import (composite_two_pass,
+                                                         unify_samples)
+        from nerffaceediting_tpu.render.ray_marcher import mip_ray_marcher
+
+        d1, d2, colors, densities, _ = self._inputs(seed=3)
+        # exact tie across the lists (re-sorted to keep d2 monotone)
+        d2 = jnp.sort(d2.at[:, :, 0].set(d1[:, :, 4]), axis=2)
+        all_d, all_c, all_s = unify_samples(
+            d1, d2, colors, densities, assume_sorted=True)
+        rgb0, dep0, w0 = mip_ray_marcher(all_c, all_s, all_d,
+                                         clamp_mode="softplus")
+        rgb1, seg1, dep1, wt1 = composite_two_pass(
+            d1, d2, colors, densities, None, clamp_mode="softplus")
+        assert seg1 is None
+        np.testing.assert_allclose(rgb1, rgb0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(dep1, dep0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(wt1, jnp.sum(w0, axis=2), rtol=1e-5,
+                                   atol=1e-5)
