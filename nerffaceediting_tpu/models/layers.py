@@ -77,7 +77,8 @@ def init_conv2d_layer(key, in_channels: int, out_channels: int, kernel_size: int
 
 def conv2d_layer(params, x, *, activation: str = "linear", up: int = 1, down: int = 1,
                  resample_filter: Optional[jax.Array] = None,
-                 conv_clamp: Optional[float] = None, gain: float = 1.0):
+                 conv_clamp: Optional[float] = None, gain: float = 1.0,
+                 channels_last: bool = False):
     w = params["weight"]
     kh = w.shape[2]
     weight_gain = 1.0 / math.sqrt(w.shape[1] * kh * kh)
@@ -85,11 +86,12 @@ def conv2d_layer(params, x, *, activation: str = "linear", up: int = 1, down: in
     act_clamp = conv_clamp * gain if conv_clamp is not None else None
     x = conv2d_resample(
         x, (w * weight_gain).astype(x.dtype), f=resample_filter, up=up, down=down,
-        padding=kh // 2, flip_weight=(up == 1),
+        padding=kh // 2, flip_weight=(up == 1), channels_last=channels_last,
     )
     b = params.get("bias")
     return bias_act(x, None if b is None else b.astype(x.dtype), act=activation,
-                    gain=act_gain, clamp=act_clamp)
+                    gain=act_gain, clamp=act_clamp,
+                    dim=3 if channels_last else 1)
 
 
 # ---------------------------------------------------------------------------
@@ -118,29 +120,33 @@ def synthesis_layer(params, x, w, *, resolution: int, up: int = 1,
                     conv_clamp: Optional[float] = None,
                     noise_mode: str = "const",
                     rng: Optional[jax.Array] = None,
-                    gain: float = 1.0):
+                    gain: float = 1.0,
+                    channels_last: bool = False):
     assert noise_mode in ("random", "const", "none")
     styles = fully_connected(params["affine"], w)
 
     noise = None
     if "noise_const" in params and noise_mode == "random":
         assert rng is not None, "noise_mode='random' requires an rng key"
-        noise = (
-            jax.random.normal(rng, (x.shape[0], 1, resolution, resolution), x.dtype)
-            * params["noise_strength"].astype(x.dtype)
-        )
+        nshape = ((x.shape[0], resolution, resolution, 1) if channels_last
+                  else (x.shape[0], 1, resolution, resolution))
+        noise = (jax.random.normal(rng, nshape, x.dtype)
+                 * params["noise_strength"].astype(x.dtype))
     elif "noise_const" in params and noise_mode == "const":
         noise = params["noise_const"].astype(x.dtype) * params["noise_strength"].astype(x.dtype)
+        if channels_last:
+            noise = noise[:, :, jnp.newaxis]  # (R, R, 1) broadcast over C
 
     x = modulated_conv2d(
         x, params["weight"], styles, noise=noise, up=up,
         padding=params["weight"].shape[2] // 2, resample_filter=resample_filter,
-        flip_weight=(up == 1),
+        flip_weight=(up == 1), channels_last=channels_last,
     )
     act_gain = activation_funcs[activation].def_gain * gain
     act_clamp = conv_clamp * gain if conv_clamp is not None else None
     return bias_act(x, params["bias"].astype(x.dtype), act=activation,
-                    gain=act_gain, clamp=act_clamp)
+                    gain=act_gain, clamp=act_clamp,
+                    dim=3 if channels_last else 1)
 
 
 # ---------------------------------------------------------------------------
@@ -158,13 +164,16 @@ def init_torgb_layer(key, in_channels: int, out_channels: int, w_dim: int,
     }
 
 
-def torgb_layer(params, x, w, *, conv_clamp: Optional[float] = None):
+def torgb_layer(params, x, w, *, conv_clamp: Optional[float] = None,
+                channels_last: bool = False):
     in_channels = params["weight"].shape[1]
     kh = params["weight"].shape[2]
     weight_gain = 1.0 / math.sqrt(in_channels * kh * kh)
     styles = fully_connected(params["affine"], w) * weight_gain
-    x = modulated_conv2d(x, params["weight"], styles, demodulate=False)
-    return bias_act(x, params["bias"].astype(x.dtype), clamp=conv_clamp)
+    x = modulated_conv2d(x, params["weight"], styles, demodulate=False,
+                         channels_last=channels_last)
+    return bias_act(x, params["bias"].astype(x.dtype), clamp=conv_clamp,
+                    dim=3 if channels_last else 1)
 
 
 # ---------------------------------------------------------------------------

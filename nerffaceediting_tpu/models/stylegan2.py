@@ -144,7 +144,8 @@ def synthesis_block(params, x, img, ws_block, *, resolution: int,
                     noise_mode: str = "const",
                     rng: Optional[jax.Array] = None,
                     up: bool = True,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32,
+                    channels_last: bool = False):
     """One resolution block: (up-)conv0 → conv1 → skip-accumulated ToRGB.
 
     ws_block is (B, n_ws_used, w_dim); order: conv0 (if present), conv1,
@@ -158,6 +159,8 @@ def synthesis_block(params, x, img, ws_block, *, resolution: int,
 
     if "const" in params:
         const = params["const"].astype(dtype)
+        if channels_last:
+            const = const.transpose(1, 2, 0)
         x = jnp.tile(const[jnp.newaxis], (ws_block.shape[0], 1, 1, 1))
     else:
         x = x.astype(dtype)
@@ -165,19 +168,22 @@ def synthesis_block(params, x, img, ws_block, *, resolution: int,
             params["conv0"], x, ws_block[:, w_idx], resolution=resolution,
             up=2 if up else 1, resample_filter=resample_filter if up else None,
             conv_clamp=conv_clamp, noise_mode=noise_mode, rng=rngs[0],
+            channels_last=channels_last,
         )
         w_idx += 1
 
     x = synthesis_layer(
         params["conv1"], x, ws_block[:, w_idx], resolution=resolution,
         conv_clamp=conv_clamp, noise_mode=noise_mode, rng=rngs[1],
+        channels_last=channels_last,
     )
     w_idx += 1
 
     if img is not None and up:
-        img = upsample2d(img, resample_filter)
+        img = upsample2d(img, resample_filter, channels_last=channels_last)
     if "torgb" in params:
-        y = torgb_layer(params["torgb"], x, ws_block[:, w_idx], conv_clamp=conv_clamp)
+        y = torgb_layer(params["torgb"], x, ws_block[:, w_idx], conv_clamp=conv_clamp,
+                        channels_last=channels_last)
         y = y.astype(jnp.float32)
         img = img + y if img is not None else y
     return x, img

@@ -174,11 +174,15 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
     )
 
     B = feats.shape[0]
-    feature_image = feats.transpose(0, 2, 1).reshape(B, -1, res, res)
     seg_image = segs.transpose(0, 2, 1).reshape(B, -1, res, res)
     depth_image = depths.transpose(0, 2, 1).reshape(B, 1, res, res)
+    # NOTE r3: an NHWC (channels_last) SR path exists and is oracle-tested
+    # (ops/modconv.py, tests/test_ops.py::TestChannelsLast) but is NOT wired
+    # here: measured end-to-end it was fps-neutral while inflating XLA
+    # compile times ~7x and destabilizing the Mosaic pipeline emitter in
+    # multi-frame scan programs (llo::CouldLtS32 SIGABRT at GROUP=4).
+    feature_image = feats.transpose(0, 2, 1).reshape(B, -1, res, res)
     rgb_image = feature_image[:, :3]
-
     sr_image = superresolution(
         params["superresolution"], rgb_image, feature_image, ws_sr,
         variant=cfg.rendering.superresolution_module,

@@ -35,8 +35,10 @@ from .precision import get_precision
 from .upfirdn import upfirdn2d, _parse_padding, _get_filter_size
 
 
-def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
-    """Plain NCHW conv. flip_weight=True → correlation (torch conv2d
+def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True,
+            channels_last=False):
+    """Plain conv (NCHW, or NHWC with channels_last — the TPU-native layout;
+    weights always arrive OIHW). flip_weight=True → correlation (torch conv2d
     semantics); False → true convolution (kernel flipped)."""
     if not flip_weight and (w.shape[2] > 1 or w.shape[3] > 1):
         w = jnp.flip(w, axis=(2, 3))
@@ -44,19 +46,24 @@ def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
         padding = ((padding, padding), (padding, padding))
     if isinstance(stride, int):
         stride = (stride, stride)
+    if channels_last:
+        w = w.transpose(2, 3, 1, 0)  # OIHW → HWIO
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        dn = ("NCHW", "OIHW", "NCHW")
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=dn,
         feature_group_count=groups,
         precision=get_precision(),
     )
 
 
 def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
-                       flip_weight, flip_filter, gain):
+                       flip_weight, flip_filter, gain, channels_last=False):
     """Equivalent of ``upfirdn2d(x, f, up=2, padding=[px0,px1,py0,py1],
     gain=gain)`` followed by a valid `_conv2d(·, w)` — computed WITHOUT the
     zero-stuffed high-res grid.
@@ -69,8 +76,16 @@ def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
     FIR conv (a slow depthwise pass), its pad/layout fixups, and the 4×
     structurally-zero MXU work of the dilated 3×3 conv (measured ~2.5×
     end-to-end on the SuperresolutionHybrid8XDC module).
+
+    channels_last (NHWC) keeps O on the lane dim through the phase
+    concatenation, so the final depth-to-space interleave permutes only
+    sublane-major dims — the NCHW version of that interleave was the single
+    biggest HBM cost of the serving frame (HLO-profiled r3).
     """
-    B, _, H, W = x.shape
+    if channels_last:
+        B, H, W, _ = x.shape
+    else:
+        B, _, H, W = x.shape
     O, I, kh, kw = w.shape
     f2 = jnp.outer(f, f) if f.ndim == 1 else f
     f2 = f2 * gain
@@ -112,30 +127,43 @@ def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
             prx = qx - W - plx + cxy.shape[3] - 1
             if cxy.shape[2] == 0 or cxy.shape[3] == 0:
                 # this output parity touches no kernel tap → all zeros
-                phases.append(jnp.zeros((B, O, qy, qx), x.dtype))
+                shape = (B, qy, qx, O) if channels_last else (B, O, qy, qx)
+                phases.append(jnp.zeros(shape, x.dtype))
                 continue
             # Negative conv padding miscompiles on some XLA backends
             # (observed garbage rows on CPU) — realize trims as slices.
             xs = x
             p = [ply, pry, plx, prx]
+            hax, wax = (1, 2) if channels_last else (2, 3)
             if p[0] < 0:
-                xs = xs[:, :, -p[0]:]
+                xs = lax.slice_in_dim(xs, -p[0], xs.shape[hax], axis=hax)
                 p[0] = 0
             if p[1] < 0:
-                xs = xs[:, :, :p[1]]
+                xs = lax.slice_in_dim(xs, 0, xs.shape[hax] + p[1], axis=hax)
                 p[1] = 0
             if p[2] < 0:
-                xs = xs[:, :, :, -p[2]:]
+                xs = lax.slice_in_dim(xs, -p[2], xs.shape[wax], axis=wax)
                 p[2] = 0
             if p[3] < 0:
-                xs = xs[:, :, :, :p[3]]
+                xs = lax.slice_in_dim(xs, 0, xs.shape[wax] + p[3], axis=wax)
                 p[3] = 0
+            ck = (cxy.transpose(2, 3, 1, 0) if channels_last else cxy)
             phases.append(lax.conv_general_dilated(
-                xs, cxy.astype(x.dtype), (1, 1),
+                xs, ck.astype(x.dtype), (1, 1),
                 ((p[0], p[1]), (p[2], p[3])),
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                dimension_numbers=(("NHWC", "HWIO", "NHWC") if channels_last
+                                   else ("NCHW", "OIHW", "NCHW")),
                 precision=get_precision(),
             ))
+    if channels_last:
+        # NHWC interleave: concat on the minor channel axis, split it into
+        # (ry, rx, O), and lift the parity bits next to their spatial dims.
+        # O stays the lane dim throughout — the permutation only touches
+        # sublane-major axes (vs ~400 MB of strided copies in NCHW at 512²).
+        cat = jnp.concatenate(phases, axis=-1)            # (B, qy, qx, 4·O)
+        st = cat.reshape(B, qy, qx, 2, 2, O)
+        out = st.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * qy, 2 * qx, O)
+        return out[:, :Ly, :Lx]
     # Interleave phases via a CHANNEL concat + one depth-to-space relayout:
     # jnp.stack on a new leading axis lowered to 4 full-size pads (~530 MB
     # of HBM traffic at 512², HLO-profiled); concatenating along the
@@ -156,6 +184,7 @@ def conv2d_resample(
     groups: int = 1,
     flip_weight: bool = True,
     flip_filter: bool = False,
+    channels_last: bool = False,
 ) -> jax.Array:
     """2-D convolution with optional FIR-filtered up/downsampling.
 
@@ -182,23 +211,30 @@ def conv2d_resample(
 
     # 1×1 kernel with downsampling only: resample first, fewer conv FLOPs.
     if kw == 1 and kh == 1 and down > 1 and up == 1:
-        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
-        return _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter,
+                      channels_last=channels_last)
+        return _conv2d(x, w, groups=groups, flip_weight=flip_weight,
+                       channels_last=channels_last)
 
     # 1×1 kernel with upsampling only: convolve first, then resample.
     if kw == 1 and kh == 1 and up > 1 and down == 1:
-        x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
-        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter)
+        x = _conv2d(x, w, groups=groups, flip_weight=flip_weight,
+                    channels_last=channels_last)
+        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter,
+                         channels_last=channels_last)
 
     # Downsampling only: pre-filter, then fold the stride into the conv.
     if down > 1 and up == 1:
-        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
-        return _conv2d(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter,
+                      channels_last=channels_last)
+        return _conv2d(x, w, stride=down, groups=groups, flip_weight=flip_weight,
+                       channels_last=channels_last)
 
     # No resampling: plain conv with asymmetric padding support.
     if up == 1 and down == 1:
         return _conv2d(
-            x, w, padding=((py0, py1), (px0, px1)), groups=groups, flip_weight=flip_weight
+            x, w, padding=((py0, py1), (px0, px1)), groups=groups, flip_weight=flip_weight,
+            channels_last=channels_last
         )
 
     # up=2 fast path: composite-kernel sub-pixel convolution (see
@@ -206,22 +242,25 @@ def conv2d_resample(
     if up == 2 and down == 1 and groups == 1 and f is not None:
         return _up2_subpixel_conv(
             x, w, f, px0, px1, py0, py1,
-            flip_weight=flip_weight, flip_filter=flip_filter, gain=up**2)
+            flip_weight=flip_weight, flip_filter=flip_filter, gain=up**2,
+            channels_last=channels_last)
 
     # General path (up > 1, any down): zero-upsample + FIR via upfirdn, then
     # convolve, then (rarely) downsample — ref conv2d_resample.py:153-158.
     x = upfirdn2d(
         x, f if up > 1 else None, up=up, padding=[px0, px1, py0, py1], gain=up**2,
-        flip_filter=flip_filter,
+        flip_filter=flip_filter, channels_last=channels_last,
     )
-    x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+    x = _conv2d(x, w, groups=groups, flip_weight=flip_weight,
+                channels_last=channels_last)
     if down > 1:
-        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter,
+                      channels_last=channels_last)
     return x
 
 
 def modulated_conv2d(
-    x: jax.Array,              # (B, I, H, W)
+    x: jax.Array,              # (B, I, H, W), or (B, H, W, I) channels_last
     weight: jax.Array,         # (O, I, kh, kw)
     styles: jax.Array,         # (B, I)
     noise: Optional[jax.Array] = None,
@@ -231,6 +270,7 @@ def modulated_conv2d(
     resample_filter: Optional[jax.Array] = None,
     demodulate: bool = True,
     flip_weight: bool = True,
+    channels_last: bool = False,
 ) -> jax.Array:
     """Style-modulated convolution (ref: networks_stylegan2.py:34-91).
 
@@ -249,15 +289,17 @@ def modulated_conv2d(
         w32 = w32 * styles.astype(jnp.float32).reshape(B, 1, I, 1, 1)
         dcoefs = jax.lax.rsqrt(jnp.sum(jnp.square(w32), axis=(2, 3, 4)) + 1e-8)  # (B, O)
 
-    x = x * styles.astype(x.dtype).reshape(B, I, 1, 1)
+    s_shape = (B, 1, 1, I) if channels_last else (B, I, 1, 1)
+    d_shape = (B, 1, 1, O) if channels_last else (B, O, 1, 1)
+    x = x * styles.astype(x.dtype).reshape(s_shape)
     x = conv2d_resample(
         x, weight.astype(x.dtype), f=resample_filter, up=up, down=down,
-        padding=padding, flip_weight=flip_weight,
+        padding=padding, flip_weight=flip_weight, channels_last=channels_last,
     )
     if demodulate and noise is not None:
-        x = x * dcoefs.astype(x.dtype).reshape(B, O, 1, 1) + noise.astype(x.dtype)
+        x = x * dcoefs.astype(x.dtype).reshape(d_shape) + noise.astype(x.dtype)
     elif demodulate:
-        x = x * dcoefs.astype(x.dtype).reshape(B, O, 1, 1)
+        x = x * dcoefs.astype(x.dtype).reshape(d_shape)
     elif noise is not None:
         x = x + noise.astype(x.dtype)
     return x

@@ -19,11 +19,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def resize_bilinear(x: jax.Array, size: int, antialias: bool = False) -> jax.Array:
-    """Resize NCHW images to (size, size) with bilinear interpolation.
+def resize_bilinear(x: jax.Array, size: int, antialias: bool = False,
+                    channels_last: bool = False) -> jax.Array:
+    """Resize NCHW (or NHWC) images to (size, size) bilinearly.
 
     antialias only changes behaviour when downscaling (torch semantics).
     """
+    if channels_last:
+        B, H, W, C = x.shape
+        if H == size and W == size:
+            return x
+        if not antialias or size >= H:
+            return jax.image.resize(x, (B, size, size, C), method="linear")
+        return _downsample_antialiased(x.transpose(0, 3, 1, 2),
+                                       size).transpose(0, 2, 3, 1)
     B, C, H, W = x.shape
     if H == size and W == size:
         return x

@@ -100,14 +100,15 @@ def setup_filter(
 def _depthwise_fir_1d(
     x: jax.Array,
     f1d: jax.Array,
-    axis: int,  # 2 = H, 3 = W
+    axis: int,  # 2 = H, 3 = W (logical axes; layout set by channels_last)
     up: int,
     down: int,
     pad0: int,
     pad1: int,
+    channels_last: bool = False,
 ) -> jax.Array:
     """Depthwise 1-D FIR with fused dilation/stride along one spatial axis."""
-    channels = x.shape[1]
+    channels = x.shape[3] if channels_last else x.shape[1]
     taps = int(f1d.shape[0])
     if axis == 2:
         kernel = f1d.reshape(taps, 1)
@@ -119,14 +120,21 @@ def _depthwise_fir_1d(
         lhs_dilation = (1, up)
         strides = (1, down)
         padding = ((0, 0), (pad0, pad1))
-    kernel = jnp.tile(kernel[jnp.newaxis, jnp.newaxis], (channels, 1, 1, 1))
+    if channels_last:
+        # HWIO depthwise kernel: (kh, kw, 1, C) — channels ride the lane dim.
+        kernel = jnp.tile(kernel[:, :, jnp.newaxis, jnp.newaxis],
+                          (1, 1, 1, channels))
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        kernel = jnp.tile(kernel[jnp.newaxis, jnp.newaxis], (channels, 1, 1, 1))
+        dn = ("NCHW", "OIHW", "NCHW")
     return lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=strides,
         padding=padding,
         lhs_dilation=lhs_dilation,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=dn,
         feature_group_count=channels,
         precision=get_precision(),
     )
@@ -140,8 +148,10 @@ def upfirdn2d(
     padding: Padding = 0,
     flip_filter: bool = False,
     gain: float = 1.0,
+    channels_last: bool = False,
 ) -> jax.Array:
-    """Pad, upsample, FIR-filter, and downsample a batch of NCHW images.
+    """Pad, upsample, FIR-filter, and downsample a batch of images
+    (NCHW by default; NHWC with channels_last — the TPU-preferred layout).
 
     Exact semantics of ref torch_utils/ops/upfirdn2d.py:169-213: zero-insert
     upsample by `up`, apply (possibly negative) `padding` on the upsampled
@@ -156,7 +166,7 @@ def upfirdn2d(
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
 
-    in_h, in_w = x.shape[2], x.shape[3]
+    in_h, in_w = (x.shape[1], x.shape[2]) if channels_last else (x.shape[2], x.shape[3])
     up_w = in_w * upx + padx0 + padx1
     up_h = in_h * upy + pady0 + pady1
     assert up_w >= f.shape[-1] and up_h >= f.shape[0]
@@ -173,25 +183,35 @@ def upfirdn2d(
     # samples: the dilated signal is the reference's upsampled signal minus
     # its up-1 trailing zeros. Compensate by adding up-1 to the trailing pad.
     if f.ndim == 1:
-        x = _depthwise_fir_1d(x, f, axis=2, up=upy, down=downy, pad0=pady0, pad1=pady1 + upy - 1)
-        x = _depthwise_fir_1d(x, f, axis=3, up=upx, down=downx, pad0=padx0, pad1=padx1 + upx - 1)
+        x = _depthwise_fir_1d(x, f, axis=2, up=upy, down=downy, pad0=pady0,
+                              pad1=pady1 + upy - 1, channels_last=channels_last)
+        x = _depthwise_fir_1d(x, f, axis=3, up=upx, down=downx, pad0=padx0,
+                              pad1=padx1 + upx - 1, channels_last=channels_last)
     else:
-        channels = x.shape[1]
-        kernel = jnp.tile(f[jnp.newaxis, jnp.newaxis], (channels, 1, 1, 1))
+        if channels_last:
+            channels = x.shape[3]
+            kernel = jnp.tile(f[:, :, jnp.newaxis, jnp.newaxis],
+                              (1, 1, 1, channels))
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            channels = x.shape[1]
+            kernel = jnp.tile(f[jnp.newaxis, jnp.newaxis], (channels, 1, 1, 1))
+            dn = ("NCHW", "OIHW", "NCHW")
         x = lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),
             window_strides=(downy, downx),
             padding=((pady0, pady1 + upy - 1), (padx0, padx1 + upx - 1)),
             lhs_dilation=(upy, upx),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            dimension_numbers=dn,
             feature_group_count=channels,
             precision=get_precision(),
         )
     return x
 
 
-def filter2d(x, f, padding: Padding = 0, flip_filter=False, gain=1.0):
+def filter2d(x, f, padding: Padding = 0, flip_filter=False, gain=1.0,
+             channels_last: bool = False):
     """Shape-preserving FIR filter (ref: upfirdn2d.py:279-312)."""
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
     fw, fh = _get_filter_size(f)
@@ -201,10 +221,12 @@ def filter2d(x, f, padding: Padding = 0, flip_filter=False, gain=1.0):
         pady0 + fh // 2,
         pady1 + (fh - 1) // 2,
     ]
-    return upfirdn2d(x, f, padding=p, flip_filter=flip_filter, gain=gain)
+    return upfirdn2d(x, f, padding=p, flip_filter=flip_filter, gain=gain,
+                     channels_last=channels_last)
 
 
-def upsample2d(x, f, up: Scaling = 2, padding: Padding = 0, flip_filter=False, gain=1.0):
+def upsample2d(x, f, up: Scaling = 2, padding: Padding = 0, flip_filter=False, gain=1.0,
+               channels_last: bool = False):
     """FIR-interpolating 2× upsample (ref: upfirdn2d.py:315-351)."""
     upx, upy = _parse_scaling(up)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
@@ -215,10 +237,12 @@ def upsample2d(x, f, up: Scaling = 2, padding: Padding = 0, flip_filter=False, g
         pady0 + (fh + upy - 1) // 2,
         pady1 + (fh - upy) // 2,
     ]
-    return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter, gain=gain * upx * upy)
+    return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter,
+                     gain=gain * upx * upy, channels_last=channels_last)
 
 
-def downsample2d(x, f, down: Scaling = 2, padding: Padding = 0, flip_filter=False, gain=1.0):
+def downsample2d(x, f, down: Scaling = 2, padding: Padding = 0, flip_filter=False, gain=1.0,
+                 channels_last: bool = False):
     """Anti-aliased 2× downsample (ref: upfirdn2d.py:354-389)."""
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
@@ -229,4 +253,5 @@ def downsample2d(x, f, down: Scaling = 2, padding: Padding = 0, flip_filter=Fals
         pady0 + (fh - downy + 1) // 2,
         pady1 + (fh - downy) // 2,
     ]
-    return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter, gain=gain)
+    return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter, gain=gain,
+                     channels_last=channels_last)

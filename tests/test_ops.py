@@ -325,3 +325,58 @@ class TestModulatedConv:
         expected = F.conv2d(torch.tensor(filtered), torch.tensor(w, dtype=torch.float64), stride=2).numpy()
         assert out.shape == expected.shape == (2, 8, 8, 8)
         np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-4)
+
+
+class TestChannelsLast:
+    """NHWC (channels_last) path ≡ NCHW path — the TPU-native SR layout
+    (ops/modconv.py, ops/upfirdn.py channels_last=True)."""
+
+    def _nchw(self, *shape, seed=0):
+        return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+
+    @pytest.mark.parametrize("up,down", [(1, 1), (2, 1), (1, 2)])
+    def test_upfirdn2d_nhwc(self, up, down):
+        from nerffaceediting_tpu.ops import setup_filter, upfirdn2d
+
+        x = self._nchw(2, 5, 16, 16)
+        f = setup_filter([1, 3, 3, 1])
+        ref = upfirdn2d(x, f, up=up, down=down, padding=2, gain=1.3)
+        got = upfirdn2d(x.transpose(0, 2, 3, 1), f, up=up, down=down,
+                        padding=2, gain=1.3, channels_last=True)
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("up", [1, 2])
+    def test_modulated_conv2d_nhwc(self, up):
+        from nerffaceediting_tpu.ops import modulated_conv2d, setup_filter
+
+        x = self._nchw(2, 8, 16, 16)
+        w = self._nchw(12, 8, 3, 3, seed=1)
+        styles = jax.random.normal(jax.random.key(2), (2, 8), jnp.float32)
+        f = setup_filter([1, 3, 3, 1]) if up > 1 else None
+        ref = modulated_conv2d(x, w, styles, up=up, padding=1,
+                               resample_filter=f, flip_weight=(up == 1))
+        got = modulated_conv2d(x.transpose(0, 2, 3, 1), w, styles, up=up,
+                               padding=1, resample_filter=f,
+                               flip_weight=(up == 1), channels_last=True)
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_superresolution_nhwc(self):
+        from nerffaceediting_tpu.models.superresolution import (
+            init_superresolution, superresolution)
+
+        params = init_superresolution(jax.random.key(0),
+                                      "SuperresolutionHybrid2X")
+        rgb = self._nchw(1, 3, 64, 64, seed=3)
+        x = self._nchw(1, 32, 64, 64, seed=4)
+        ws = jax.random.normal(jax.random.key(5), (1, 14, 512), jnp.float32)
+        ref = superresolution(params, rgb, x, ws,
+                              variant="SuperresolutionHybrid2X",
+                              noise_mode="const")
+        got = superresolution(params, rgb.transpose(0, 2, 3, 1),
+                              x.transpose(0, 2, 3, 1), ws,
+                              variant="SuperresolutionHybrid2X",
+                              noise_mode="const", channels_last=True)
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   rtol=2e-4, atol=2e-4)
