@@ -10,6 +10,7 @@ from nerffaceediting_tpu.models import triplane
 
 
 class TestAblations:
+    @pytest.mark.slow  # heavy compile (r3 durations); full tier only
     def test_disable_disentangle_with_segmentation_decoder(self):
         """disable_alignment ablation (ref triplane.py:48-51):
         SegmentationOSGDecoder on raw planes, both decoder inputs equal."""
@@ -31,6 +32,7 @@ class TestAblations:
         assert out["image_seg"].shape[1] == 15
         assert out["plane_mean"] is None  # no disentanglement statistics
 
+    @pytest.mark.slow  # heavy compile (r3 durations); full tier only
     def test_w_avg_updates_in_dmain(self):
         from nerffaceediting_tpu.config import DiscriminatorConfig
         from nerffaceediting_tpu.models.discriminator import init_dual_discriminator

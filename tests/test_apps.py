@@ -33,6 +33,7 @@ def tiny_config():
 
 
 class TestEditingAPI:
+    @pytest.mark.slow  # heavy compile (r3 durations); full tier only
     def test_encode_decode_matches_synthesis(self):
         """decode(encode(ws)) must equal the fused synthesis output — the
         editing path and the generation path share one program."""

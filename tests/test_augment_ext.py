@@ -97,6 +97,7 @@ class TestAugmentPipe:
         assert compiled._cache_size() == n0
 
 
+@pytest.mark.slow  # heavy compile (r3 durations); full tier only
 class TestDiscriminatorVariants:
     def test_single_and_dummy(self):
         from nerffaceediting_tpu.models.discriminator import (
@@ -184,6 +185,7 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(tmp_path, run_dirs[0], "training_options.json"))
 
 
+@pytest.mark.slow  # heavy compile (r3 durations); full tier only
 class TestFreezeD:
     def test_mask_ordering_and_step(self):
         """freeze_d_mask freezes fromrgb→conv0→conv1→skip from the top block

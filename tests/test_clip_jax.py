@@ -13,6 +13,10 @@ from nerffaceediting_tpu.metrics.clip_jax import (
     init_clip,
 )
 
+# detector compiles ~80 s (measured r3) — excluded from the default dev tier
+# (pytest -m 'not slow' tests/); the full tier still runs everything.
+pytestmark = pytest.mark.slow
+
 transformers = pytest.importorskip("transformers")
 torch = pytest.importorskip("torch")
 

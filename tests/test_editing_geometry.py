@@ -16,6 +16,10 @@ from nerffaceediting_tpu.editing.geometry import (
 from nerffaceediting_tpu.editing.masks import labels_to_colors
 from nerffaceediting_tpu.render.cameras import camera_params, fov_to_intrinsics, lookat_pose
 
+# optimization loop ~70 s (measured r3) — excluded from the default dev tier
+# (pytest -m 'not slow' tests/); the full tier still runs everything.
+pytestmark = pytest.mark.slow
+
 
 class TestGeometryEdit:
     def test_seg_loss_decreases_and_planes_move(self):

@@ -16,6 +16,12 @@ from nerffaceediting_tpu.metrics.inception_jax import (
     init_inception,
 )
 
+import pytest
+
+# detector compiles ~110 s (measured r3) — excluded from the default dev tier
+# (pytest -m 'not slow' tests/); the full tier still runs everything.
+pytestmark = pytest.mark.slow
+
 
 class TestInceptionJax:
     def test_forward_shapes_and_determinism(self):

@@ -24,6 +24,10 @@ from nerffaceediting_tpu.io.torch_converter import (
     nest_state_dict,
 )
 
+# BiSeNet forward + converter roundtrip ~55 s (measured r3) — excluded from the default dev tier
+# (pytest -m 'not slow' tests/); the full tier still runs everything.
+pytestmark = pytest.mark.slow
+
 
 def flatten_to_state_dict(tree, prefix=""):
     """Flatten our pytree back into torch-style dotted names."""

@@ -95,3 +95,40 @@ class TestPrecisionRecall:
 
 def test_registry():
     assert {"fid", "kid", "pr", "ppl"} <= set(list_metrics())
+
+
+class TestPinnedRegressionValues:
+    """Pinned fixture-FID/KID through the keyed-random JAX InceptionV3
+    (VERDICT r2 #7): a silent regression in the detector architecture,
+    preprocessing, or the FID/KID math moves these values far outside the
+    1% tolerance (verified deterministic across runs on the CPU mesh)."""
+
+    PINNED_FID = 112.9909419559659
+    PINNED_KID = 0.8619195222854614
+
+    @staticmethod
+    def _fixture_images(seed, amp):
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+        r = np.random.default_rng(seed)
+        base = (128 + 80 * np.sin(2 * np.pi * (
+            xx[None] * r.uniform(0.5, 2.0, (24, 1, 1))
+            + yy[None] * r.uniform(0.5, 2.0, (24, 1, 1)))))
+        img = base[..., None] + amp * r.normal(size=(24, 64, 64, 3))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def test_fid_kid_pinned(self):
+        import jax
+
+        from nerffaceediting_tpu.metrics.inception_jax import (
+            inception_features_fn_jax, init_inception)
+
+        params = init_inception(jax.random.key(0))
+        fn = inception_features_fn_jax(params)
+        fr = fn(self._fixture_images(1, 10.0))
+        fg = fn(self._fixture_images(2, 40.0))
+        mu_r, cov_r = fr.mean(0), np.cov(fr, rowvar=False)
+        mu_g, cov_g = fg.mean(0), np.cov(fg, rowvar=False)
+        fid = frechet_distance(mu_r, cov_r, mu_g, cov_g)
+        kid = kernel_distance(fr, fg, num_subsets=10, max_subset_size=20)
+        np.testing.assert_allclose(fid, self.PINNED_FID, rtol=1e-2)
+        np.testing.assert_allclose(kid, self.PINNED_KID, rtol=1e-2)

@@ -24,9 +24,12 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "training")),
-    reason="reference checkout unavailable")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "training")),
+                       reason="reference checkout unavailable"),
+    # ~90 s torch fixture build — full tier only (pytest -m 'not slow' skips)
+    pytest.mark.slow,
+]
 
 NRR = int(os.environ.get("PARITY_NRR", "32"))
 

@@ -112,6 +112,7 @@ def tiny_setup():
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # heavy compile (r3 durations); full tier only
     def test_one_step_updates_params_dp8(self):
         g_cfg, d_cfg = tiny_setup()
         loss_cfg = LossConfig(gpc_reg_prob=0.5)
@@ -152,6 +153,7 @@ class TestTrainStep:
         mesh_lib.assert_replica_consistency(new_state.g_params)
 
 
+@pytest.mark.slow  # heavy compile (r3 durations); full tier only
 class TestGregMicrobatch:
     def test_chunked_hist_matches_fullbatch_direction(self):
         """greg_step with microbatch=2 (stats_source chunking, VERDICT r1
@@ -217,6 +219,7 @@ class TestGregMicrobatch:
 
 
 class TestStyleMixing:
+    @pytest.mark.slow  # heavy compile (r3 durations); full tier only
     def test_mixing_applies_in_run_g(self):
         """style_mixing_prob now acts inside _run_g for every G phase
         (ref loss.py:216-221): with prob=1 the ws rows beyond the cutoff come

@@ -14,6 +14,10 @@ from nerffaceediting_tpu.train.loss import LossConfig
 from nerffaceediting_tpu.train.step import OptimizerConfig
 from tests.test_train import tiny_setup
 
+# ~1,200 s of phase compiles (measured r3) — excluded from the default dev tier
+# (pytest -m 'not slow' tests/); the full tier still runs everything.
+pytestmark = pytest.mark.slow
+
 
 def synthetic_iter(batch_size, z_dim):
     rng = np.random.default_rng(0)

@@ -13,6 +13,10 @@ from nerffaceediting_tpu.io.vgg import (
     vgg16_features,
 )
 
+# LPIPS/VGG compiles ~135 s (measured r3) — excluded from the default dev tier
+# (pytest -m 'not slow' tests/); the full tier still runs everything.
+pytestmark = pytest.mark.slow
+
 
 def _run_grad_check_subprocess(code: str) -> None:
     import os

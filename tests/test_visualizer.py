@@ -8,6 +8,9 @@ from tests.test_apps import tiny_config
 from nerffaceediting_tpu.apps.visualizer import RenderSession
 from nerffaceediting_tpu.models import triplane
 
+# session fixture + renders ~100 s of compiles — full tier only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def session():
@@ -66,3 +69,38 @@ class TestRenderSession:
         # psi=0 → everyone is the average face
         np.testing.assert_array_equal(a, b)
         session.set_truncation(0.7)
+
+
+class TestHTTPFrontend:
+    def test_index_and_render_endpoints(self, session):
+        import threading
+        import urllib.request
+
+        from nerffaceediting_tpu.apps.visualizer import make_server
+
+        srv = make_server(session, port=0)
+        host, port = srv.server_address
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(f"http://{host}:{port}/") as r:
+                page = r.read().decode()
+            assert "drag the image to orbit" in page and "/render?" in page
+
+            url = (f"http://{host}:{port}/render?yaw=0.2&pitch=-0.1"
+                   "&fov=20&seed=3&psi=0.6&type=rgb&coarse=4&fine=4")
+            with urllib.request.urlopen(url) as r:
+                png = r.read()
+                ms = r.headers["X-Render-Ms"]
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            assert float(ms) > 0
+            assert session.state.yaw == pytest.approx(0.2)
+            assert session.state.truncation_psi == pytest.approx(0.6)
+
+            with urllib.request.urlopen(
+                    f"http://{host}:{port}/nope") as r:  # pragma: no cover
+                pass
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        finally:
+            srv.shutdown()
