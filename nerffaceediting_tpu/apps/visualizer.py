@@ -190,26 +190,138 @@ class RenderSession:
         }
 
 
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>NeRFFaceEditing-TPU visualizer</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;display:flex;background:#15171a;color:#ddd}
+ #panel{width:270px;padding:14px;display:flex;flex-direction:column;gap:10px}
+ #panel label{display:flex;justify-content:space-between;font-size:13px}
+ #panel input[type=range]{width:150px}
+ #panel input[type=number]{width:70px;background:#222;color:#ddd;border:1px solid #444}
+ #panel select{background:#222;color:#ddd;border:1px solid #444}
+ #view{flex:1;display:flex;align-items:center;justify-content:center;min-height:100vh}
+ #frame{max-width:85vmin;max-height:85vmin;cursor:grab;border:1px solid #333;
+        image-rendering:auto;background:#000;width:512px;height:512px}
+ #stat{font-size:12px;color:#8a8}
+ h3{margin:2px 0;font-size:14px;color:#fff}
+</style></head><body>
+<div id="panel">
+ <h3>latent</h3>
+ <label>seed <input id="seed" type="number" value="0"></label>
+ <label>trunc ψ <input id="psi" type="range" min="0" max="1" step="0.05" value="0.7"></label>
+ <label>mix seed <input id="mix" type="number" placeholder="off"></label>
+ <label>mix cutoff <input id="cutoff" type="number" value="7"></label>
+ <h3>camera</h3>
+ <label>yaw <input id="yaw" type="range" min="-0.8" max="0.8" step="0.01" value="0"></label>
+ <label>pitch <input id="pitch" type="range" min="-0.6" max="0.6" step="0.01" value="0"></label>
+ <label>fov° <input id="fov" type="range" min="12" max="30" step="0.25" value="18.837"></label>
+ <h3>render</h3>
+ <label>type <select id="type"><option>rgb</option><option>seg</option><option>depth</option></select></label>
+ <label>coarse <input id="coarse" type="number" value="48" step="4"></label>
+ <label>fine <input id="fine" type="number" value="48" step="4"></label>
+ <div id="stat">—</div>
+ <div style="font-size:11px;color:#777">drag the image to orbit</div>
+</div>
+<div id="view"><img id="frame" alt="render"></div>
+<script>
+const $=id=>document.getElementById(id);
+let busy=false, queued=false;
+function url(){
+  const p=new URLSearchParams({yaw:$("yaw").value,pitch:$("pitch").value,
+    fov:$("fov").value,seed:$("seed").value||0,psi:$("psi").value,
+    type:$("type").value,coarse:$("coarse").value,fine:$("fine").value,
+    cutoff:$("cutoff").value});
+  if($("mix").value!=="") p.set("mix",$("mix").value);
+  return "/render?"+p.toString();
+}
+async function refresh(){
+  if(busy){queued=true;return}
+  busy=true; const t0=performance.now();
+  try{
+    const r=await fetch(url()); const b=await r.blob();
+    $("frame").src=URL.createObjectURL(b);
+    $("stat").textContent=(performance.now()-t0).toFixed(0)+" ms  ("+
+      (r.headers.get("X-Render-Ms")||"?")+" ms device)";
+  }finally{busy=false; if(queued){queued=false; refresh();}}
+}
+for(const id of["seed","psi","mix","cutoff","yaw","pitch","fov","type","coarse","fine"])
+  $(id).addEventListener("input",refresh);
+let drag=null;
+$("frame").addEventListener("pointerdown",e=>{drag=[e.clientX,e.clientY,
+  +$("yaw").value,+$("pitch").value]; $("frame").setPointerCapture(e.pointerId)});
+$("frame").addEventListener("pointermove",e=>{ if(!drag)return;
+  $("yaw").value=Math.max(-0.8,Math.min(0.8,drag[2]-(e.clientX-drag[0])/300));
+  $("pitch").value=Math.max(-0.6,Math.min(0.6,drag[3]+(e.clientY-drag[1])/300));
+  refresh()});
+$("frame").addEventListener("pointerup",()=>drag=null);
+refresh();
+</script></body></html>"""
+
+
+def make_server(session: RenderSession, port: int = 8000,
+                host: str = "127.0.0.1"):
+    """Build (without starting) the visualizer HTTP server; `serve` runs it.
+    port=0 binds an ephemeral port (see server.server_address) — used by
+    tests and by embedders that run the server on their own thread."""
+    return _make_server(session, port, host)
+
+
 def serve(session: RenderSession, port: int = 8000, host: str = "127.0.0.1"):
-    """Minimal HTTP endpoint: GET /render?yaw=..&pitch=..&seed=..&type=rgb →
-    PNG. The remote-UI analog of the reference's async render process.
+    """Browser visualizer: GET / → a single-page UI (sliders + drag-to-orbit,
+    ref visualizer.py:39-324's widget surface); GET /render?yaw=..&pitch=..
+    &fov=..&seed=..&psi=..&mix=..&cutoff=..&type=rgb|seg|depth&coarse=..
+    &fine=.. → PNG frame (the remote-UI analog of the reference's async
+    render process, viz/renderer.py:125-157).
 
     DEBUG TOOL ONLY: no authentication, and each GET mutates the shared
     session state — do not expose beyond localhost (default bind) or to
     untrusted users; front it with an authenticating proxy for anything
     more than single-user local inspection."""
+    _make_server(session, port, host).serve_forever()
+
+
+def _make_server(session: RenderSession, port: int, host: str):
     import io
     from http.server import BaseHTTPRequestHandler, HTTPServer
     from urllib.parse import parse_qs, urlparse
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
-            q = parse_qs(urlparse(self.path).query)
+            path = urlparse(self.path)
+            if path.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if path.path != "/render":
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = parse_qs(path.query)
+
+            def f(key, default):
+                return float(q.get(key, [default])[0])
+
             if "seed" in q:
                 session.set_seed(int(q["seed"][0]))
+            if "psi" in q:
+                session.set_truncation(f("psi", 0.7))
+            if "mix" in q:
+                session.set_style_mix(int(q["mix"][0]),
+                                      int(f("cutoff", 7)))
+            elif session.state.style_mix_seed is not None:
+                session.set_style_mix(None)
             if "type" in q:
                 session.set_render_type(q["type"][0])
-            session.set_pose(float(q.get("yaw", [0])[0]), float(q.get("pitch", [0])[0]))
+            if "coarse" in q or "fine" in q:
+                session.set_depth_samples(int(f("coarse", 48)),
+                                          int(f("fine", 48)))
+            if "fov" in q:
+                session.set_fov(f("fov", 18.837))
+            session.set_pose(f("yaw", 0.0), f("pitch", 0.0))
             out = session.render()
             import PIL.Image
 
@@ -217,13 +329,15 @@ def serve(session: RenderSession, port: int = 8000, host: str = "127.0.0.1"):
             PIL.Image.fromarray(out["image"]).save(buf, format="PNG")
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
+            self.send_header("X-Render-Ms", f"{out['render_time_ms']:.1f}")
+            self.send_header("Content-Length", str(buf.getbuffer().nbytes))
             self.end_headers()
             self.wfile.write(buf.getvalue())
 
         def log_message(self, *a):
             pass
 
-    HTTPServer((host, port), Handler).serve_forever()
+    return HTTPServer((host, port), Handler)
 
 
 if __name__ == "__main__":
