@@ -101,13 +101,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freezed", type=int, default=0,
                    help="freeze first N D layers for transfer learning")
     p.add_argument("--face-parser", default=None,
-                   help="path to 79999_iter.pth for the seg loss")
+                   help="path to 79999_iter.pth for the seg loss, or "
+                        "'random' for a fixed-seed random-init BiSeNet "
+                        "(mechanics demo in weightless environments)")
     p.add_argument("--resume", default=None, help="orbax checkpoint to resume")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ threaded data loader (zip datasets)")
     p.add_argument("--loader-threads", type=int, default=4)
+    # TPU speed policy (the reference's fp32/tf32 + fp16-top-res scheme,
+    # ref train.py:383-387, becomes two orthogonal TPU knobs):
+    p.add_argument("--precision", default="default",
+                   choices=["highest", "default"],
+                   help="MXU pass count for fp32 convs/matmuls: 'highest' "
+                        "= multi-pass bf16 (parity runs), 'default' = one "
+                        "bf16 pass (the tf32-equivalent training setting)")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 activations in the SR module + discriminator "
+                        "(the reference's num_fp16_res=4 + conv_clamp=256)")
     return p
 
 
@@ -162,6 +174,7 @@ def configs_from_args(args):
         neural_rendering_resolution_initial=args.neural_rendering_resolution_initial,
         neural_rendering_resolution_final=args.neural_rendering_resolution_final,
         neural_rendering_resolution_fade_kimg=args.neural_rendering_resolution_fade_kimg,
+        amp=getattr(args, "amp", False),
     )
     opt_cfg = OptimizerConfig(
         g_lr=args.glr, d_lr=args.dlr,
@@ -174,6 +187,12 @@ def configs_from_args(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     maybe_init_distributed()
+    # Global MXU precision is baked in at trace time — set it before any
+    # phase program compiles (ops/precision.py).
+    from ..ops import precision as prec
+    from jax import lax
+    prec.set_precision(lax.Precision.HIGHEST if args.precision == "highest"
+                       else lax.Precision.DEFAULT)
     g_cfg, d_cfg, loss_cfg, opt_cfg = configs_from_args(args)
 
     desc = f"{args.cfg}-b{args.batch}-gamma{args.gamma}"

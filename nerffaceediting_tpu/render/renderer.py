@@ -511,18 +511,24 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         depths_fine = sample_importance(rngs[2], depths_coarse, weights, N_imp)
         colors_f, densities_f, segs_f = eval_at(depths_fine, rngs[3])
 
-        # Inference (rng=None): fused merge+march via the weight pull-back
-        # (composite_two_pass) — merges only depth/σ, never the payload.
-        # Training: the rank/one-hot structures are large residuals even
-        # under remat — the sort path is the memory-right choice
-        # (VERDICT r1 weak #7).
-        merge_fast = rng is None
+        # Fused merge+march via the weight pull-back (composite_two_pass) —
+        # merges only depth/σ, never the payload. Valid in BOTH modes:
+        # stratified depths are monotone by construction and sample_pdf
+        # draws sorted uniforms, so each list is per-ray sorted with or
+        # without rng. Training additionally wraps it in jax.checkpoint so
+        # the (B,R,S,S) rank comparisons are recomputed in the backward
+        # pass instead of living in HBM (VERDICT r1 weak #7); the argsort
+        # path below is kept as the assume-nothing fallback.
+        merge_fast = True
         if merge_fast:
-            rgb, seg, depth, wsum = composite_two_pass(
+            fn = partial(composite_two_pass, clamp_mode=cfg.clamp_mode,
+                         white_back=cfg.white_back)
+            if rng is not None:
+                fn = jax.checkpoint(fn)
+            rgb, seg, depth, wsum = fn(
                 depths_coarse, depths_fine, (colors_c, colors_f),
                 (densities_c, densities_f),
-                (segs_c, segs_f) if use_seg else None,
-                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+                (segs_c, segs_f) if use_seg else None)
             return rgb, seg, depth, wsum
         if use_seg:
             all_depths, all_colors, all_densities, all_segs = unify_samples(

@@ -77,7 +77,16 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
 
     face_parser_params = None
     has_parser = False
-    if tcfg.face_parser_path:
+    if tcfg.face_parser_path == "random":
+        # Fixed-seed random-init BiSeNet: exercises the full seg-supervision
+        # path (parse → remap → CE) in environments with no 79999_iter.pth.
+        # Targets are meaningless but deterministic — a mechanics/demo mode.
+        from ..models.bisenet import init_bisenet
+
+        face_parser_params = mesh_lib.replicate(
+            mesh, jax.jit(init_bisenet)(jax.random.key(0)))
+        has_parser = True
+    elif tcfg.face_parser_path:
         from ..io.torch_converter import convert_bisenet_state_dict
         import torch
 

@@ -206,6 +206,16 @@ class LossConfig:
     # ADA strength (static per compilation; the host-side AdaController
     # adjusts it between trace buckets, ref training_loop.py:372-375).
     ada_p: float = 0.0
+    # Mixed precision for the SR module and discriminator — the TPU analogue
+    # of the reference's fp16 top resolutions (ref train.py:384-387:
+    # sr_num_fp16_res=4 / D num_fp16_res=4 with conv_clamp=256): bf16
+    # activations feed the MXU in one pass and halve HBM traffic. The G
+    # backbone, decoder and volume render stay fp32, like the reference.
+    amp: bool = False
+
+    @property
+    def amp_dtype(self):
+        return jnp.bfloat16 if self.amp else jnp.float32
 
     def blur_sigma(self, cur_nimg: int) -> float:
         if self.blur_fade_kimg <= 0:
@@ -236,7 +246,7 @@ FaceParserFn = Callable[[jax.Array], jax.Array]  # image (B,3,H,W) → 19-class 
 
 def _run_g(g_params, z, c, rng, g_cfg: GeneratorConfig, swapping_prob,
            neural_rendering_resolution, stats_from_index=None,
-           style_mixing_prob: float = 0.0):
+           style_mixing_prob: float = 0.0, sr_dtype=jnp.float32):
     """Generator forward for the loss phases (ref loss.py:203-221 run_G):
     pose-conditioning swap, mapping, optional style mixing (applied to the
     mapped ws for every phase, matching ref loss.py:216-221 placement), then
@@ -252,7 +262,7 @@ def _run_g(g_params, z, c, rng, g_cfg: GeneratorConfig, swapping_prob,
         g_params, ws, c, g_cfg,
         neural_rendering_resolution=neural_rendering_resolution,
         stats_from_index=stats_from_index,
-        noise_mode="random", rng=rng_synth,
+        noise_mode="random", rng=rng_synth, sr_dtype=sr_dtype,
     )
     return out, ws
 
@@ -281,7 +291,7 @@ def _run_d(d_params, img: Dict, c, d_cfg: DiscriminatorConfig, cfg: LossConfig,
         image_raw = resize_bilinear(pair[:, image.shape[1]:], raw_res, antialias=True)
     return dual_discriminator(
         d_params, image, image_raw, c, d_cfg,
-        filter_mode=cfg.filter_mode, rng=rng,
+        filter_mode=cfg.filter_mode, rng=rng, dtype=cfg.amp_dtype,
     )
 
 
@@ -293,7 +303,8 @@ def g_main_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
     rng_g, rng_d = jax.random.split(rng)
     nrr = cfg.neural_rendering_resolution(cur_nimg)
     gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
-                        nrr, style_mixing_prob=cfg.style_mixing_prob)
+                        nrr, style_mixing_prob=cfg.style_mixing_prob,
+                        sr_dtype=cfg.amp_dtype)
     logits = _run_d(d_params, gen_img, c, d_cfg, cfg, cfg.blur_sigma(cur_nimg),
                     rng_d, ada_p=ada_p)
     loss_adv = jnp.mean(jax.nn.softplus(-logits))
@@ -335,7 +346,8 @@ def g_reg_loss(g_params, d_params, z, c, rng, *, g_cfg: GeneratorConfig,
         # (ref loss.py:284: planes_mean=0, planes_var=0).
         gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
                             nrr, stats_from_index=0,
-                            style_mixing_prob=cfg.style_mixing_prob)
+                            style_mixing_prob=cfg.style_mixing_prob,
+                            sr_dtype=cfg.amp_dtype)
         if cfg.hist_weight > 0:
             if cfg.hist_type == "per_label":
                 loss_hist = (
@@ -437,7 +449,8 @@ def d_main_loss(d_params, g_params, z, c, real_img, real_c, rng, *,
     blur_sigma = cfg.blur_sigma(cur_nimg)
 
     gen_img, _ = _run_g(g_params, z, c, rng_g, g_cfg, cfg.swapping_prob(cur_nimg),
-                        nrr, style_mixing_prob=cfg.style_mixing_prob)
+                        nrr, style_mixing_prob=cfg.style_mixing_prob,
+                        sr_dtype=cfg.amp_dtype)
     gen_img = jax.lax.stop_gradient(gen_img)
     gen_logits = _run_d(d_params, gen_img, c, d_cfg, cfg, blur_sigma, rng_d1,
                         ada_p=ada_p)

@@ -6,7 +6,8 @@ at a given per-chip batch and microbatch. Reports per-phase wall times and
 the amortized sec/kimg for the reference cadence (Greg every 4, Dreg
 every 16).
 
-Usage: python scripts/bench_train.py [batch] [microbatch]
+Usage: python scripts/bench_train.py [batch] [microbatch] [amp]
+(amp=1 enables bf16 SR/D activations — LossConfig.amp)
 """
 
 import os
@@ -23,6 +24,7 @@ import jax.numpy as jnp
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     micro = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    amp = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 
     from jax import lax
 
@@ -42,10 +44,10 @@ def main():
 
     g_cfg = ffhq_generator_config()
     d_cfg = DiscriminatorConfig()
-    loss_cfg = LossConfig(gpc_reg_prob=0.5)
+    loss_cfg = LossConfig(gpc_reg_prob=0.5, amp=amp)
     opt_cfg = OptimizerConfig()
 
-    print(f"batch={batch} microbatch={micro}", flush=True)
+    print(f"batch={batch} microbatch={micro} amp={amp}", flush=True)
     # jit the initializers: eager init is thousands of tunnel dispatches
     t0 = time.perf_counter()
     state = jax.jit(lambda kg, kd: init_train_state(
@@ -58,7 +60,15 @@ def main():
 
     rng = np.random.default_rng(0)
     real = jnp.asarray(rng.uniform(-1, 1, (batch, 3, 512, 512)).astype(np.float32))
-    c = jnp.asarray((rng.normal(size=(batch, 25)) * 0.1).astype(np.float32))
+    # realistic FFHQ-distribution cameras: rays must hit the scene box so the
+    # backward pass through the plane-sampling scatter carries real values
+    from nerffaceediting_tpu.render.cameras import (
+        camera_params, fov_to_intrinsics, lookat_pose)
+    c = camera_params(
+        lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7,
+                    batch_size=batch, rng=jax.random.key(3),
+                    horizontal_stddev=0.3, vertical_stddev=0.2),
+        fov_to_intrinsics(18.837))
     z = jnp.asarray(rng.normal(size=(batch, 512)).astype(np.float32))
 
     common = dict(g_cfg=g_cfg, d_cfg=d_cfg, loss_cfg=loss_cfg,

@@ -124,12 +124,23 @@ class TestTrainStep:
         state = init_train_state(g_params, d_params, opt_cfg)
         state = mesh_lib.replicate(mesh, state)
 
+        from nerffaceediting_tpu.render.cameras import (
+            camera_params, fov_to_intrinsics, lookat_pose)
+
         B = 8
+        # realistic cameras: rays must hit the [-.5,.5] scene box, or the
+        # tri-plane backbone receives zero gradient (grid_sample zero
+        # padding) and the params-moved check goes vacuous for it
+        cams = camera_params(
+            lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7,
+                        batch_size=B, rng=jax.random.key(3),
+                        horizontal_stddev=0.3, vertical_stddev=0.2),
+            fov_to_intrinsics(18.837))
         batch = {
             "real_img": jax.random.normal(jax.random.key(2), (B, 3, 128, 128)),
-            "real_c": jax.random.normal(jax.random.key(3), (B, 25)),
+            "real_c": cams,
             "z": jax.random.normal(jax.random.key(4), (B, g_cfg.z_dim)),
-            "gen_c": jax.random.normal(jax.random.key(5), (B, 25)),
+            "gen_c": cams,
         }
         batch = mesh_lib.shard_batch(mesh, batch)
 
@@ -143,11 +154,13 @@ class TestTrainStep:
         )
         for name in ("Loss/G/loss", "Loss/D/loss", "Loss/r1_penalty", "Loss/G/hist"):
             assert np.isfinite(float(stats[name])), name
-        # parameters actually moved
+        # EVERY G subtree moved — incl. the plane-synthesis backbone, which
+        # only trains when rays actually intersect the box
         moved = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a) - b))),
             g_before, new_state.g_params)
-        assert max(jax.tree.leaves(moved)) > 0
+        for name in ("mapping", "synthesis", "decoder", "superresolution"):
+            assert max(jax.tree.leaves(moved[name])) > 0, name
         assert int(new_state.cur_nimg) == B
         # replicas stay consistent after the sharded step
         mesh_lib.assert_replica_consistency(new_state.g_params)
@@ -242,3 +255,84 @@ class TestStyleMixing:
         np.testing.assert_array_equal(ws_mixed[:, 0], ws_plain[:, 0])
         # prob=1 guarantees mixing: the last row comes from the fresh latent
         assert np.abs(ws_mixed[:, -1] - ws_plain[:, -1]).max() > 1e-6
+
+
+class TestAmp:
+    """bf16 SR/D mixed precision (LossConfig.amp — the reference's
+    num_fp16_res scheme, ref train.py:384-387): same losses within bf16
+    tolerance, gradients well-aligned with the fp32 path, all finite."""
+
+    def _losses_and_grads(self, amp: bool):
+        from nerffaceediting_tpu.train.loss import d_main_loss, g_main_loss
+        from nerffaceediting_tpu.render.cameras import (
+            camera_params, fov_to_intrinsics, lookat_pose)
+
+        g_cfg, d_cfg = tiny_setup()
+        loss_cfg = LossConfig(gpc_reg_prob=0.5, amp=amp)
+        g_params = triplane.init_generator(jax.random.key(0), g_cfg)
+        d_params = init_dual_discriminator(jax.random.key(1), d_cfg)
+        B = 2
+        z = jax.random.normal(jax.random.key(2), (B, g_cfg.z_dim))
+        # REALISTIC cameras: rays must hit the [-.5,.5] box or the planes get
+        # no gradient at all (grid_sample zero-padding) and the check is vacuous.
+        c = camera_params(
+            lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7,
+                        batch_size=B, rng=jax.random.key(3),
+                        horizontal_stddev=0.3, vertical_stddev=0.2),
+            fov_to_intrinsics(18.837))
+        real = jax.random.normal(jax.random.key(4), (B, 3, 128, 128))
+
+        def g_loss(p):
+            return g_main_loss(p, d_params, z, c, jax.random.key(5),
+                               g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg,
+                               cur_nimg=0)[0]
+
+        def d_loss(p):
+            return d_main_loss(p, g_params, z, c, real, c, jax.random.key(6),
+                               g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg,
+                               cur_nimg=0)[0]
+
+        gl, gg = jax.value_and_grad(g_loss)(g_params)
+        dl, dg = jax.value_and_grad(d_loss)(d_params)
+        return float(gl), gg, float(dl), dg
+
+    def test_amp_matches_fp32_within_bf16_tolerance(self):
+        gl32, gg32, dl32, dg32 = self._losses_and_grads(amp=False)
+        gl16, gg16, dl16, dg16 = self._losses_and_grads(amp=True)
+        assert np.isfinite(gl16) and np.isfinite(dl16)
+        # every G subtree (incl. the plane-synthesis backbone) must receive
+        # gradient — guards the realistic-camera fixture staying realistic
+        # AND the render path never silently stopping plane gradients
+        for name, sub in gg32.items():
+            n = float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(sub)))
+            assert n > 0, f"zero gradient on G subtree {name!r}"
+        assert abs(gl16 - gl32) < 0.05 * (abs(gl32) + 1)
+        assert abs(dl16 - dl32) < 0.05 * (abs(dl32) + 1)
+
+        def cos(t1, t2):
+            v1 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(t1)])
+            v2 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(t2)])
+            assert bool(jnp.all(jnp.isfinite(v1))) and bool(jnp.all(jnp.isfinite(v2)))
+            return float(v1 @ v2 / (jnp.linalg.norm(v1) * jnp.linalg.norm(v2) + 1e-12))
+
+        # Total-gradient alignment: bf16 mantissa noise in the SR blocks
+        # caps this around ~0.96 at the tiny random-init config (measured);
+        # a real break (stopped path, sign flip, systematic bias) lands far
+        # below. The fp32 decoder subtree must stay essentially exact.
+        assert cos(gg16, gg32) > 0.9
+        assert cos(dg16, dg32) > 0.9
+        assert cos(gg16["decoder"], gg32["decoder"]) > 0.99
+
+    def test_amp_dtype_reaches_sr_output_dtype_is_f32(self):
+        """SR output must come back to fp32 (synthesis_block casts the img
+        accumulator) so every loss reduction stays fp32."""
+        from nerffaceediting_tpu.train.loss import _run_g
+
+        g_cfg, _ = tiny_setup()
+        g_params = triplane.init_generator(jax.random.key(0), g_cfg)
+        z = jax.random.normal(jax.random.key(2), (2, g_cfg.z_dim))
+        c = jax.random.normal(jax.random.key(3), (2, 25))
+        out, _ = _run_g(g_params, z, c, jax.random.key(4), g_cfg, None, 16,
+                        sr_dtype=jnp.bfloat16)
+        assert out["image"].dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(out["image"])))
