@@ -40,6 +40,7 @@ models/triplane.py) is the separable product of per-axis tap masses.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -71,6 +72,12 @@ _WX, _SX = 64, 16       # x-window edge / stride (plane W axis, MXU rows)
 _WY, _SY = 128, 64      # y-window edge / stride (plane H axis, MXU K dim)
 _PADL = 8               # left zero-margin of every window
 _PATCH = (8, 8, 4)      # (ray-rows, ray-cols, depth) per tile = 256 points
+
+# Resident-canvas windowed variant (see _windowed_call): opt-in via env until
+# measured faster on hardware; _RESIDENT_FORCE lets tests exercise it in
+# interpret mode regardless of the env switch.
+_RESIDENT_CANVAS = os.environ.get("NFE_RESIDENT_CANVAS", "0") == "1"
+_RESIDENT_FORCE = False
 
 
 def _onehot2_t(i0, w1, size, tile_p, dt):
@@ -110,19 +117,9 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, plane_ref, out_ref, *,
     lax.fori_loop(0, P // tile_p, tile, None)
 
 
-def _win_kernel(bidx_ref, pts_ref, canvas_ref, out_ref, *,
-                C: int, tile_p: int, compute_dtype):
-    """Windowed forward: one point tile against its plane-window block.
-
-    bidx: (NP, nt) int32 per-tile canvas block index (scalar-prefetched —
-    Pallas streams the matching canvas block per tile and skips the copy when
-    consecutive tiles share a window);
-    pts: (1, 4, tile_p) f32 rows [rel_y, rel_x, wy, wx] (window-relative
-    floor coords, precomputed outside);
-    canvas: (1, 1, C·WX, WY) compute_dtype window block;
-    out: (1, C, tile_p) f32.
-    """
-    w2 = canvas_ref[0, 0]                 # (C·WX, WY)
+def _win_body(w2, pts_ref, out_ref, C: int, tile_p: int, compute_dtype):
+    """Shared windowed-forward body: sample one point tile against the
+    (C·WX, WY) window w2."""
     WX = w2.shape[0] // C
     WY = w2.shape[1]
 
@@ -136,6 +133,37 @@ def _win_kernel(bidx_ref, pts_ref, canvas_ref, out_ref, *,
 
     t = jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)  # (C·WX, tile_p)
     out_ref[0] = jnp.sum(t.reshape(C, WX, tile_p) * rx_t[None], axis=1)
+
+
+def _win_kernel(bidx_ref, pts_ref, canvas_ref, out_ref, *,
+                C: int, tile_p: int, compute_dtype):
+    """Windowed forward: one point tile against its plane-window block.
+
+    bidx: (NP, nt) int32 per-tile canvas block index (scalar-prefetched —
+    Pallas streams the matching canvas block per tile and skips the copy when
+    consecutive tiles share a window);
+    pts: (1, 4, tile_p) f32 rows [rel_y, rel_x, wy, wx] (window-relative
+    floor coords, precomputed outside);
+    canvas: (1, 1, C·WX, WY) compute_dtype window block;
+    out: (1, C, tile_p) f32.
+    """
+    _win_body(canvas_ref[0, 0], pts_ref, out_ref, C, tile_p, compute_dtype)
+
+
+def _win_kernel_resident(bidx_ref, pts_ref, canvas_ref, out_ref, *,
+                         C: int, tile_p: int, compute_dtype):
+    """Resident-canvas windowed forward: the WHOLE per-plane canvas
+    (nb, C·WX, WY) lives in VMEM (one HBM→VMEM copy per plane, reused by
+    every point tile) and the tile's window is selected by a dynamic VMEM
+    index — replacing the per-tile 512 KB canvas-block DMA that makes the
+    streaming variant DMA-bound (~40% MXU, docs/PERF.md r2). 32 MB per
+    plane at the serving geometry (64 blocks × C·64×128 bf16) fits v5e's
+    128 MB VMEM with double buffering."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = bidx_ref[i, j]
+    w2 = canvas_ref[0, b]                 # dynamic block select, VMEM view
+    _win_body(w2, pts_ref, out_ref, C, tile_p, compute_dtype)
 
 
 def _grad_kernel(y0_ref, x0_ref, wy_ref, wx_ref, g_ref, dplane_ref, *,
@@ -315,23 +343,39 @@ def _full_plane_call(statics, plane_cwh, y0, x0, wy, wx):
 def _windowed_call(statics, canvas, pts, bidx):
     """Fast path: pts (NP, 4, Mt) tile-regrouped window-relative coords,
     bidx (NP, nt) int32 canvas block per tile, canvas
-    (NP, nb, C·_WX, _WY)."""
+    (NP, nb, C·_WX, _WY).
+
+    Two variants (NFE_RESIDENT_CANVAS=1 selects the second):
+    streaming — Pallas DMAs the tile's 512 KB canvas block per tile (skipped
+    when consecutive tiles share a window); resident — the whole per-plane
+    canvas is copied into VMEM once per plane and windows are selected by a
+    dynamic VMEM index inside the kernel (zero per-tile canvas DMA)."""
     NP, H, W, C, M, ray_shape, tile_p, block_p, cdt_name, interpret, _coh = statics
     compute_dtype = jnp.dtype(cdt_name)
     Mt = pts.shape[2]
     nt = Mt // tile_p
+    nb = canvas.shape[1]
+    resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
 
-    kernel = functools.partial(_win_kernel, C=C, tile_p=tile_p,
-                               compute_dtype=compute_dtype)
+    if resident:
+        kernel = functools.partial(_win_kernel_resident, C=C, tile_p=tile_p,
+                                   compute_dtype=compute_dtype)
+        canvas_spec = pl.BlockSpec((1, nb, C * _WX, _WY),
+                                   lambda i, j, bidx_ref: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_win_kernel, C=C, tile_p=tile_p,
+                                   compute_dtype=compute_dtype)
+        canvas_spec = pl.BlockSpec((1, 1, C * _WX, _WY),
+                                   lambda i, j, bidx_ref: (i, bidx_ref[i, j], 0, 0),
+                                   memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NP, nt),
         in_specs=[
             pl.BlockSpec((1, 4, tile_p), lambda i, j, bidx_ref: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C * _WX, _WY),
-                         lambda i, j, bidx_ref: (i, bidx_ref[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
+            canvas_spec,
         ],
         out_specs=pl.BlockSpec((1, C, tile_p), lambda i, j, bidx_ref: (i, 0, j),
                                memory_space=pltpu.VMEM),

@@ -292,3 +292,25 @@ class TestFusedDecode:
         for k in ("sigma", "seg", "rgb"):
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        atol=1e-5)
+
+
+class TestResidentCanvas:
+    """The resident-canvas windowed variant (NFE_RESIDENT_CANVAS — whole
+    per-plane canvas in VMEM, dynamic in-kernel window select) must be
+    numerically identical to the streaming windowed path."""
+
+    def test_resident_matches_streaming(self, monkeypatch):
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+
+        rng = np.random.default_rng(23)
+        coords = TestWindowedFastPath._ray_coords(rng)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 32, 64, 64)).astype(np.float32))
+        kw = dict(box_warp=1.0, ray_shape=(16, 16, 8), interpret=True,
+                  compute_dtype=jnp.float32)
+        base = sample_from_planes_fused(planes, coords, **kw)
+        monkeypatch.setattr(tk, "_RESIDENT_FORCE", True)
+        jax.clear_caches()  # the flag is read at trace time
+        res = sample_from_planes_fused(planes, coords, **kw)
+        jax.clear_caches()
+        np.testing.assert_allclose(np.asarray(res), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
