@@ -14,6 +14,7 @@ slower V100). The ≥5× north star therefore means vs_baseline ≥ 5.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,6 +22,12 @@ import jax
 import jax.numpy as jnp
 
 V100_BASELINE_FPS = 25.0
+
+# A/B overrides (bench experiments; defaults are the committed fastest):
+#   NFE_BENCH_FRAMES  — orbit length per dispatch (default 64)
+#   NFE_BENCH_GROUP   — frames per scan body (default 4)
+#   NFE_BENCH_SR_BF16 — 1: run the SR module with bf16 activations
+#   NFE_RESIDENT_CANVAS (read by ops/triplane_kernel) — resident-canvas kernel
 
 
 def main():
@@ -64,7 +71,7 @@ def main():
     # 64 frames ≈ one second of orbit video per dispatch: long enough to
     # amortize the ~35-40 ms tunnel dispatch + per-orbit canvas build that
     # a 16-frame orbit left visible (~2.5 ms/frame, measured r3).
-    n_frames = 64
+    n_frames = int(os.environ.get("NFE_BENCH_FRAMES", "64"))
     cams = jnp.concatenate([
         camera_params(
             lookat_pose(np.pi / 2 + 0.4 * np.sin(2 * np.pi * i / n_frames),
@@ -75,7 +82,9 @@ def main():
         for i in range(n_frames)
     ])  # (n_frames, 25)
 
-    GROUP = 4  # frames per scan body: amortizes per-iteration overhead
+    GROUP = int(os.environ.get("NFE_BENCH_GROUP", "4"))  # frames per scan body
+    sr_dtype = (jnp.bfloat16 if os.environ.get("NFE_BENCH_SR_BF16") == "1"
+                else jnp.float32)
 
     @jax.jit
     def edited_orbit(params, planes_src, planes_sty, ws, cams):
@@ -92,7 +101,8 @@ def main():
             for k in range(GROUP):
                 out = decode(params, ws, cam_group[k][None], norm, None, cfg,
                              plane_stats=stats, coherent=True,
-                             fused_decoder=True, canvas=canvas)
+                             fused_decoder=True, canvas=canvas,
+                             sr_dtype=sr_dtype)
                 # scalar checksum forces execution; frames would stream to
                 # the encoder in production
                 acc = acc + jnp.sum(out["image"])

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Serving-bench A/B sweep (run on the real chip when the tunnel is up).
+# Each variant is a fresh process (env-selected kernel/layout switches are
+# read at trace time). Compile caches persist across runs.
+cd "$(dirname "$0")/.."
+
+run() {
+  local name="$1"; shift
+  echo "== $name =="
+  env "$@" timeout 2400 python bench.py || echo "$name FAILED/TIMEOUT"
+}
+
+run baseline NFE_NOOP=0
+run resident NFE_RESIDENT_CANVAS=1
+run sr-bf16 NFE_BENCH_SR_BF16=1
+run resident+sr-bf16 NFE_RESIDENT_CANVAS=1 NFE_BENCH_SR_BF16=1
+run group8 NFE_BENCH_GROUP=8
