@@ -85,6 +85,10 @@ def main():
     GROUP = int(os.environ.get("NFE_BENCH_GROUP", "4"))  # frames per scan body
     sr_dtype = (jnp.bfloat16 if os.environ.get("NFE_BENCH_SR_BF16") == "1"
                 else jnp.float32)
+    # NFE_BENCH_FUSED=0: decomposed render (windowed sampling kernel + XLA
+    # decoder MLPs) instead of the fused sampling+decode kernel — the path
+    # the resident-canvas variant (NFE_RESIDENT_CANVAS=1) applies to.
+    fused = os.environ.get("NFE_BENCH_FUSED", "1") == "1"
 
     @jax.jit
     def edited_orbit(params, planes_src, planes_sty, ws, cams):
@@ -101,7 +105,7 @@ def main():
             for k in range(GROUP):
                 out = decode(params, ws, cam_group[k][None], norm, None, cfg,
                              plane_stats=stats, coherent=True,
-                             fused_decoder=True, canvas=canvas,
+                             fused_decoder=fused, canvas=canvas,
                              sr_dtype=sr_dtype)
                 # scalar checksum forces execution; frames would stream to
                 # the encoder in production

@@ -11,7 +11,7 @@ run() {
 }
 
 run baseline NFE_NOOP=0
-run resident NFE_RESIDENT_CANVAS=1
+run decomposed NFE_BENCH_FUSED=0
+run decomposed+resident NFE_BENCH_FUSED=0 NFE_RESIDENT_CANVAS=1
 run sr-bf16 NFE_BENCH_SR_BF16=1
-run resident+sr-bf16 NFE_RESIDENT_CANVAS=1 NFE_BENCH_SR_BF16=1
 run group8 NFE_BENCH_GROUP=8
