@@ -73,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cmax", type=int, default=512)
     p.add_argument("--map-depth", type=int, default=2)
     p.add_argument("--kimg", type=int, default=25000)
-    p.add_argument("--tick", type=int, default=4)
+    p.add_argument("--tick", type=float, default=4,
+                   help="kimg per tick (fractional ok, ref train.py:161)")
     p.add_argument("--snap", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gen-pose-cond", action="store_true")
