@@ -31,6 +31,36 @@ V100_BASELINE_FPS = 25.0
 
 
 def main():
+    # Fallback ladder: the default settings are the fastest measured
+    # configuration, but if an aggressive setting fails to compile on the
+    # driver's chip (Mosaic/VMEM regressions are environment-sensitive),
+    # retry progressively more conservative variants rather than reporting
+    # nothing. Explicit env overrides pin a single variant (A/B sweeps).
+    pinned = any(k in os.environ for k in (
+        "NFE_BENCH_FRAMES", "NFE_BENCH_GROUP", "NFE_BENCH_FUSED",
+        "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS"))
+    ladder = [{}] if pinned else [
+        {},                                              # committed fastest
+        {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "4"},   # r2-validated shape
+        {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "1",
+         "NFE_BENCH_FUSED": "0"},                        # most conservative
+    ]
+    last_err = None
+    for overrides in ladder:
+        os.environ.update(overrides)
+        try:
+            return _run()
+        except Exception as e:  # noqa: BLE001 — report via the next rung
+            last_err = e
+            import traceback
+            traceback.print_exc()
+            import sys
+            print(f"bench variant {overrides or 'default'} failed; "
+                  f"falling back", file=sys.stderr)
+    raise last_err
+
+
+def _run():
     from jax import lax
 
     from nerffaceediting_tpu.ops import precision as prec

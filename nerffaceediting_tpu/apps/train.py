@@ -63,6 +63,10 @@ def make_run_dir(outdir: str, desc: str) -> str:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data", required=True, help="dataset dir or zip")
+    p.add_argument("--res", type=int, default=None,
+                   help="output resolution (default: the dataset's native "
+                        "resolution, as the reference derives it from "
+                        "training_set.resolution, ref train.py:183-189)")
     p.add_argument("--outdir", default="runs")
     p.add_argument("--cfg", default="ffhq", choices=["ffhq", "afhq", "shapenet"])
     p.add_argument("--batch", type=int, default=32)
@@ -124,15 +128,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def configs_from_args(args):
+# output resolution → SR module (ref train.py:305-335 picks the sr_module
+# alongside each rendering block; the 2X/4X variants are the reference's
+# shapenet-128 / afhq-256 choices)
+SR_BY_RESOLUTION = {
+    512: "SuperresolutionHybrid8XDC",
+    256: "SuperresolutionHybrid4X",
+    128: "SuperresolutionHybrid2X",
+}
+
+
+def configs_from_args(args, img_resolution: int = 512):
     from ..config import (
         DiscriminatorConfig, ffhq_generator_config, ffhq_rendering_config)
     from ..train.loss import LossConfig
     from ..train.step import OptimizerConfig
 
+    if img_resolution not in SR_BY_RESOLUTION:
+        raise ValueError(
+            f"unsupported output resolution {img_resolution} "
+            f"(supported: {sorted(SR_BY_RESOLUTION)}); pass --res to override "
+            f"the dataset's native resolution")
+    sr_module = SR_BY_RESOLUTION[img_resolution]
+
     # cfg-specific rendering block (ref train.py:305-335)
     if args.cfg == "ffhq":
         rendering = ffhq_rendering_config(
+            image_resolution=img_resolution,
+            superresolution_module=sr_module,
             c_gen_conditioning_zero=not args.gen_pose_cond,
             c_scale=args.c_scale,
             density_reg=args.density_reg,
@@ -141,6 +164,8 @@ def configs_from_args(args):
         )
     elif args.cfg == "afhq":
         rendering = ffhq_rendering_config(
+            image_resolution=img_resolution,
+            superresolution_module=sr_module,
             avg_camera_pivot=(0.0, 0.0, -0.06),
             c_gen_conditioning_zero=not args.gen_pose_cond,
             c_scale=args.c_scale, density_reg=args.density_reg,
@@ -148,6 +173,8 @@ def configs_from_args(args):
         )
     else:  # shapenet (ref train.py:327-335)
         rendering = ffhq_rendering_config(
+            image_resolution=img_resolution,
+            superresolution_module=sr_module,
             depth_resolution=64, depth_resolution_importance=64,
             ray_start=0.1, ray_end=2.6, box_warp=1.6, white_back=True,
             avg_camera_radius=1.7, avg_camera_pivot=(0.0, 0.0, 0.0),
@@ -157,10 +184,12 @@ def configs_from_args(args):
         )
 
     g_cfg = ffhq_generator_config(
+        img_resolution=img_resolution,
         channel_base=args.cbase, channel_max=args.cmax,
         mapping_layers=args.map_depth, rendering=rendering,
     )
     d_cfg = DiscriminatorConfig(
+        img_resolution=img_resolution,
         channel_base=args.cbase, channel_max=args.cmax,
         disc_c_noise=args.disc_c_noise, freezed=args.freezed,
     )
@@ -194,7 +223,13 @@ def main(argv=None):
     from jax import lax
     prec.set_precision(lax.Precision.HIGHEST if args.precision == "highest"
                        else lax.Precision.DEFAULT)
-    g_cfg, d_cfg, loss_cfg, opt_cfg = configs_from_args(args)
+    res = args.res
+    if res is None:
+        from ..train.dataset import peek_resolution
+
+        res = peek_resolution(args.data)
+        print(f"dataset native resolution: {res}")
+    g_cfg, d_cfg, loss_cfg, opt_cfg = configs_from_args(args, img_resolution=res)
 
     desc = f"{args.cfg}-b{args.batch}-gamma{args.gamma}"
     run_dir = make_run_dir(args.outdir, desc)

@@ -105,6 +105,22 @@ class ImageFolderDataset:
         return img, label
 
 
+def peek_resolution(path: str) -> int:
+    """Native resolution of the first image in a dataset dir/zip — the
+    reference derives the model resolution from training_set.resolution
+    (ref train.py:183-189); PIL reads only the header."""
+    import io
+
+    import PIL.Image
+
+    ds = ImageFolderDataset(path, resolution=None, use_labels=False)
+    img = PIL.Image.open(io.BytesIO(ds._read_bytes(ds._image_files[0])))
+    w, h = img.size
+    if w != h:
+        raise IOError(f"non-square image {w}x{h} in {path}")
+    return w
+
+
 def data_iterator(dataset: ImageFolderDataset, batch_size: int, rank: int = 0,
                   num_replicas: int = 1, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite batches {image float32 (−1,1) NCHW, label (B, 25)}."""

@@ -4,6 +4,9 @@
 # read at trace time). Compile caches persist across runs.
 cd "$(dirname "$0")/.."
 
+# shared persistent compile cache across the per-variant processes
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/nfe_jaxcache}
+
 run() {
   local name="$1"; shift
   echo "== $name =="

@@ -8,16 +8,25 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# Persistent XLA compile cache: the resume phase is a fresh process and
+# would otherwise re-pay the full phase-compile bill.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/nfe_jaxcache}
+
 OUT=${1:-runs/demo}
 S1=${2:-600}
 S2=${3:-1200}
-DATA=runs/synth512.zip
+# Overridable for a reduced-scale (e.g. CPU-backend) demonstration:
+#   DATA=runs/synth128.zip TICK=0.02 EXTRA="--cbase 4096 --cmax 128 ..." …
+DATA=${DATA:-runs/synth512.zip}
+BATCH=${BATCH:-8}
+TICK=${TICK:-0.2}
+EXTRA=${EXTRA:-}
 
 [ -f "$DATA" ] || python scripts/make_synthetic_dataset.py --out "$DATA" --n 2000 --res 512
 
-COMMON="--data $DATA --outdir $OUT --batch 8 --gamma 1 --gen-pose-cond \
+COMMON="--data $DATA --outdir $OUT --batch $BATCH --gamma 1 --gen-pose-cond \
   --aug ada --face-parser random --precision default --amp \
-  --tick 0.2 --snap 5 --blur-fade-kimg 20"
+  --tick $TICK --snap 5 --blur-fade-kimg 20 $EXTRA"
 
 # phase 1: fresh run to S1 steps
 python -m nerffaceediting_tpu.apps.train $COMMON --max-steps "$S1"

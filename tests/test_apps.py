@@ -266,3 +266,41 @@ class TestProjectorQuality:
         rec = psnr(img, target)
         assert rec > base + 4.0, (base, rec)
         assert rec > 20.0, rec
+
+
+class TestTrainCLIConfig:
+    """Resolution derivation (ref train.py:183-189: model resolution comes
+    from training_set.resolution) and the per-resolution SR module map
+    (ref train.py:305-335)."""
+
+    def _args(self, extra=()):
+        from nerffaceediting_tpu.apps.train import build_parser
+        return build_parser().parse_args(
+            ["--data", "dummy.zip", "--gen-pose-cond", *extra])
+
+    def test_sr_variant_follows_resolution(self):
+        from nerffaceediting_tpu.apps.train import configs_from_args
+        for res, variant in [(512, "SuperresolutionHybrid8XDC"),
+                             (256, "SuperresolutionHybrid4X"),
+                             (128, "SuperresolutionHybrid2X")]:
+            g_cfg, d_cfg, _, _ = configs_from_args(self._args(), res)
+            assert g_cfg.img_resolution == res
+            assert d_cfg.img_resolution == res
+            assert g_cfg.rendering.image_resolution == res
+            assert g_cfg.rendering.superresolution_module == variant
+
+    def test_unsupported_resolution_raises(self):
+        from nerffaceediting_tpu.apps.train import configs_from_args
+        with pytest.raises(ValueError, match="unsupported output resolution"):
+            configs_from_args(self._args(), 64)
+
+    def test_fractional_tick_parses(self):
+        assert self._args(["--tick", "0.2"]).tick == pytest.approx(0.2)
+
+    def test_peek_resolution(self, tmp_path):
+        import PIL.Image
+        from nerffaceediting_tpu.train.dataset import peek_resolution
+        d = tmp_path / "ds"
+        d.mkdir()
+        PIL.Image.new("RGB", (128, 128)).save(d / "img0.png")
+        assert peek_resolution(str(d)) == 128
