@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hist-adv", type=float, default=1.0)
     p.add_argument("--hist-type", default="per_label", choices=["per_label", "whole"])
     p.add_argument("--blur-fade-kimg", type=float, default=200.0)
+    p.add_argument("--depth-resolution", type=int, default=None,
+                   help="coarse samples per ray (default: cfg preset, 48 for "
+                        "ffhq — ref train.py:306)")
+    p.add_argument("--depth-resolution-importance", type=int, default=None,
+                   help="importance samples per ray (ref train.py:307)")
     p.add_argument("--neural-rendering-resolution-initial", type=int, default=64)
     p.add_argument("--neural-rendering-resolution-final", type=int, default=None)
     p.add_argument("--neural-rendering-resolution-fade-kimg", type=int, default=1000)
@@ -150,6 +155,12 @@ def configs_from_args(args, img_resolution: int = 512):
             f"(supported: {sorted(SR_BY_RESOLUTION)}); pass --res to override "
             f"the dataset's native resolution")
     sr_module = SR_BY_RESOLUTION[img_resolution]
+    depth_overrides = {}
+    if args.depth_resolution is not None:
+        depth_overrides["depth_resolution"] = args.depth_resolution
+    if args.depth_resolution_importance is not None:
+        depth_overrides["depth_resolution_importance"] = \
+            args.depth_resolution_importance
 
     # cfg-specific rendering block (ref train.py:305-335)
     if args.cfg == "ffhq":
@@ -161,6 +172,7 @@ def configs_from_args(args, img_resolution: int = 512):
             density_reg=args.density_reg,
             density_reg_p_dist=args.density_reg_p_dist,
             reg_type=args.reg_type,
+            **depth_overrides,
         )
     elif args.cfg == "afhq":
         rendering = ffhq_rendering_config(
@@ -170,13 +182,15 @@ def configs_from_args(args, img_resolution: int = 512):
             c_gen_conditioning_zero=not args.gen_pose_cond,
             c_scale=args.c_scale, density_reg=args.density_reg,
             density_reg_p_dist=args.density_reg_p_dist, reg_type=args.reg_type,
+            **depth_overrides,
         )
     else:  # shapenet (ref train.py:327-335)
         rendering = ffhq_rendering_config(
             image_resolution=img_resolution,
             superresolution_module=sr_module,
-            depth_resolution=64, depth_resolution_importance=64,
             ray_start=0.1, ray_end=2.6, box_warp=1.6, white_back=True,
+            **{"depth_resolution": 64, "depth_resolution_importance": 64,
+               **depth_overrides},
             avg_camera_radius=1.7, avg_camera_pivot=(0.0, 0.0, 0.0),
             c_gen_conditioning_zero=not args.gen_pose_cond,
             c_scale=args.c_scale, density_reg=args.density_reg,

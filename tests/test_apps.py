@@ -289,6 +289,19 @@ class TestTrainCLIConfig:
             assert g_cfg.rendering.image_resolution == res
             assert g_cfg.rendering.superresolution_module == variant
 
+    def test_depth_resolution_overrides(self):
+        from nerffaceediting_tpu.apps.train import configs_from_args
+        args = self._args(["--depth-resolution", "12",
+                           "--depth-resolution-importance", "8"])
+        g_cfg, _, _, _ = configs_from_args(args, 128)
+        assert g_cfg.rendering.depth_resolution == 12
+        assert g_cfg.rendering.depth_resolution_importance == 8
+        # shapenet branch: override beats the preset's 64+64
+        args = self._args(["--cfg", "shapenet", "--depth-resolution", "16"])
+        g_cfg, _, _, _ = configs_from_args(args, 128)
+        assert g_cfg.rendering.depth_resolution == 16
+        assert g_cfg.rendering.depth_resolution_importance == 64
+
     def test_unsupported_resolution_raises(self):
         from nerffaceediting_tpu.apps.train import configs_from_args
         with pytest.raises(ValueError, match="unsupported output resolution"):
