@@ -78,10 +78,14 @@ def render_video(params, ws, norm_planes, cfg: GeneratorConfig,
                  plane_stats: Tuple[jax.Array, jax.Array],
                  out_path: str, num_frames: int = 120, fps: int = 60,
                  yaw_amp: float = 0.35, pitch_amp: float = 0.25,
-                 fov_deg: float = 18.837) -> None:
+                 fov_deg: float = 18.837, mesh=None) -> None:
     """Orbit video from edited planes (ref utils.py:32-88 render_video):
     the whole trajectory renders as ONE fused device program
-    (lax.scan over cameras), then streams to mp4/npz on the host."""
+    (lax.scan over cameras), then streams to mp4/npz on the host.
+
+    mesh: optional jax.sharding.Mesh — frames shard over its 'data' axis
+    (parallel.serving.orbit_sharded), scaling orbit rendering linearly
+    across a slice. num_frames must divide by the axis size."""
     import numpy as np
 
     from ..apps.gen_samples import to_uint8_image
@@ -100,17 +104,29 @@ def render_video(params, ws, norm_planes, cfg: GeneratorConfig,
         for i in range(num_frames)
     ])
 
-    @jax.jit
-    def orbit(params, ws, norm_planes, stats, cams):
-        canvas = plane_canvas(norm_planes)  # once per orbit, not per frame
+    if mesh is not None:
+        from ..parallel.serving import orbit_sharded
 
-        def frame(_, cam):
-            out = decode(params, ws, cam[None], norm_planes, None, cfg,
-                         plane_stats=stats, canvas=canvas)
-            return None, out["image"][0]
+        f_local = num_frames // mesh.shape["data"]
+        group = max(g for g in (4, 3, 2, 1) if f_local % g == 0)
 
-        _, frames = jax.lax.scan(frame, None, cams)
-        return frames
+        @jax.jit
+        def orbit(params, ws, norm_planes, stats, cams):
+            out = orbit_sharded(params, ws, cams, norm_planes, None, cfg,
+                                mesh, plane_stats=stats, scan_group=group)
+            return out["image"]
+    else:
+        @jax.jit
+        def orbit(params, ws, norm_planes, stats, cams):
+            canvas = plane_canvas(norm_planes)  # once per orbit, not per frame
+
+            def frame(_, cam):
+                out = decode(params, ws, cam[None], norm_planes, None, cfg,
+                             plane_stats=stats, canvas=canvas)
+                return None, out["image"][0]
+
+            _, frames = jax.lax.scan(frame, None, cams)
+            return frames
 
     frames = orbit(params, ws, norm_planes, plane_stats, cams)
     arrs = [to_uint8_image(frames[i : i + 1])[0] for i in range(num_frames)]

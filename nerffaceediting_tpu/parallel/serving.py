@@ -40,12 +40,18 @@ def orbit_sharded(params, ws, cams, norm_planes, denorm_planes, cfg, mesh: Mesh,
                   neural_rendering_resolution: Optional[int] = None,
                   coherent: Optional[bool] = None,
                   fused_decoder: bool = True,
+                  scan_group: Optional[int] = None,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Render an F-frame orbit with frames sharded over ``mesh['data']``.
 
-    Per-device body is exactly ``editing.api.decode_frames`` on F/n frames;
+    Per-device body is ``editing.api.decode_frames`` on F/n frames;
     params/ws/planes are replicated operands. Returns the same dict as
     ``decode_frames`` with leading axis F, sharded over ``data``.
+
+    scan_group: frames per lax.scan body on each device (bench.py's GROUP).
+    Long per-device orbits MUST set this on TPU — unrolling many fused
+    tri-plane kernel calls into one program crashes the Mosaic compiler
+    (docs/PERF.md compiler limits); 4 is the measured sweet spot.
     """
     from ..editing.api import decode_frames
 
@@ -53,14 +59,32 @@ def orbit_sharded(params, ws, cams, norm_planes, denorm_planes, cfg, mesh: Mesh,
     F = cams.shape[0]
     if F % n != 0:
         raise ValueError(f"orbit length {F} must divide over data={n} devices")
+    if scan_group is not None and (F // n) % scan_group != 0:
+        raise ValueError(f"per-device orbit {F // n} must divide into "
+                         f"scan groups of {scan_group}")
 
-    def local_frames(params_, ws_, cams_, norm_, denorm_, stats_):
+    def render_group(params_, ws_, cams_, norm_, denorm_, stats_):
         return decode_frames(
             params_, ws_, cams_, norm_, denorm_, cfg,
             plane_stats=stats_,
             neural_rendering_resolution=neural_rendering_resolution,
             coherent=coherent, fused_decoder=fused_decoder,
             sr_dtype=sr_dtype)
+
+    def local_frames(params_, ws_, cams_, norm_, denorm_, stats_):
+        F_local = cams_.shape[0]
+        if scan_group is None or scan_group >= F_local:
+            return render_group(params_, ws_, cams_, norm_, denorm_, stats_)
+
+        def body(_, cam_group):
+            return None, render_group(params_, ws_, cam_group, norm_,
+                                      denorm_, stats_)
+
+        _, outs = jax.lax.scan(
+            body, None, cams_.reshape(-1, scan_group, cams_.shape[-1]))
+        # (n_groups, group, ...) → (F_local, ...)
+        return jax.tree.map(
+            lambda a: a.reshape((F_local,) + a.shape[2:]), outs)
 
     return shard_map(
         local_frames, mesh=mesh,

@@ -106,3 +106,30 @@ class TestFrameSharded:
                                    np.asarray(ref["image"]), atol=2e-4)
         shard_axes = out["image_raw"].sharding.spec
         assert "data" in str(shard_axes)
+
+
+class TestOrbitScanGroup:
+    def test_scan_group_matches_unrolled(self):
+        """16 frames / 8 devices / scan_group=1: the per-device lax.scan
+        path (TPU compiler-limit workaround) must match plain decode."""
+        cfg, params, ws, norm, stats = _setup()
+        mesh = make_mesh(n_data=8)
+        cams = _orbit_cams(16)
+
+        ref = decode_frames(params, ws, cams, norm, None, cfg,
+                            plane_stats=stats)
+        out = orbit_sharded(params, ws, cams, norm, None, cfg, mesh,
+                            plane_stats=stats, scan_group=1)
+        np.testing.assert_allclose(np.asarray(out["image"]),
+                                   np.asarray(ref["image"]), atol=2e-4)
+
+    def test_rejects_bad_group(self):
+        cfg, params, ws, norm, stats = _setup()
+        mesh = make_mesh(n_data=8)
+        cams = _orbit_cams(24)  # F_local = 3
+        try:
+            orbit_sharded(params, ws, cams, norm, None, cfg, mesh,
+                          plane_stats=stats, scan_group=2)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "scan groups" in str(e)
