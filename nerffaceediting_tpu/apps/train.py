@@ -241,8 +241,14 @@ def main(argv=None):
     if res is None:
         from ..train.dataset import peek_resolution
 
-        res = peek_resolution(args.data)
-        print(f"dataset native resolution: {res}")
+        try:
+            res = peek_resolution(args.data)
+        except (OSError, IndexError):
+            if not args.dry_run:
+                raise
+            res = 512  # dry-run config validation without a real dataset
+        else:
+            print(f"dataset native resolution: {res}")
     g_cfg, d_cfg, loss_cfg, opt_cfg = configs_from_args(args, img_resolution=res)
 
     desc = f"{args.cfg}-b{args.batch}-gamma{args.gamma}"

@@ -62,6 +62,25 @@ def _composite(colors, densities, depths, segs=None, *, clamp_mode: str = "softp
     return composite_rgb, composite_seg, composite_depth, weights
 
 
+def march_weights(densities, depths, *, clamp_mode: str = "softplus") -> jax.Array:
+    """Marcher weights ONLY — the importance-sampling driver.
+
+    The coarse pass of the hierarchical render needs nothing but the
+    per-segment weights α·T to draw fine depths (ref renderer.py:320-323
+    discards the coarse composite when N_importance > 0); compositing
+    rgb/seg/depth there wastes the payload contractions. Identical weights
+    to `_composite` (same softplus(σ−1), midpoint quadrature, exclusive
+    log-cumsum transmittance). densities/depths (B,R,S,1) → (B,R,S-1,1)."""
+    assert clamp_mode == "softplus"
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
+    densities_mid = jax.nn.softplus(densities_mid - 1)
+    alpha = 1 - jnp.exp(-densities_mid * deltas)
+    logs = jnp.log(1.0 - alpha + 1e-10)[..., 0]
+    csum = jnp.cumsum(logs, axis=-1) - logs              # exclusive
+    return alpha * jnp.exp(csum)[..., None]
+
+
 def mip_ray_marcher(colors, densities, depths, *, clamp_mode: str = "softplus",
                     white_back: bool = False):
     """ref MipRayMarcher2 (ray_marcher.py:20-63)."""

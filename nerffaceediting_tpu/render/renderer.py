@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import RenderingConfig
 from ..ops import grid_sample_2d
 from . import math_utils
-from .ray_marcher import mip_ray_marcher, seg_mip_ray_marcher
+from .ray_marcher import march_weights, mip_ray_marcher, seg_mip_ray_marcher
 
 
 # ---------------------------------------------------------------------------
@@ -499,14 +499,11 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
 
     N_imp = cfg.depth_resolution_importance
     if N_imp > 0:
-        if use_seg:
-            _, _, _, weights = seg_mip_ray_marcher(
-                colors_c, segs_c, densities_c, depths_coarse,
-                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
-        else:
-            _, _, weights = mip_ray_marcher(
-                colors_c, densities_c, depths_coarse,
-                clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
+        # Weights-only marcher: the coarse composite is discarded when a fine
+        # pass follows (ref renderer.py:320-323 uses only `weights` here), so
+        # skip the rgb/seg/depth payload contractions entirely.
+        weights = march_weights(densities_c, depths_coarse,
+                                clamp_mode=cfg.clamp_mode)
 
         depths_fine = sample_importance(rngs[2], depths_coarse, weights, N_imp)
         colors_f, densities_f, segs_f = eval_at(depths_fine, rngs[3])

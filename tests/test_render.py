@@ -149,6 +149,21 @@ class TestRayMarcher:
         np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(weights), w_ref, rtol=1e-4, atol=1e-5)
 
+    def test_march_weights_matches_full_composite(self):
+        """The weights-only marcher (coarse importance driver) must emit
+        exactly the weights of the full composite."""
+        from nerffaceediting_tpu.render.ray_marcher import march_weights
+
+        rng = np.random.default_rng(7)
+        B, R, S = 2, 6, 11
+        colors = rng.uniform(0, 1, (B, R, S, 3)).astype(np.float32)
+        densities = rng.normal(0, 2, (B, R, S, 1)).astype(np.float32)
+        depths = np.sort(rng.uniform(2.0, 3.5, (B, R, S, 1)).astype(np.float32), axis=2)
+        _, _, w_full = mip_ray_marcher(
+            jnp.asarray(colors), jnp.asarray(densities), jnp.asarray(depths))
+        w_only = march_weights(jnp.asarray(densities), jnp.asarray(depths))
+        np.testing.assert_array_equal(np.asarray(w_only), np.asarray(w_full))
+
     def test_seg_composited_with_same_weights(self):
         rng = np.random.default_rng(1)
         B, R, S, K = 1, 5, 9, 15
