@@ -1,0 +1,160 @@
+"""Pallas merge+march pull-back kernel — the coarse+fine composite's weight
+computation in one VMEM pass.
+
+`render.renderer.composite_two_pass` reduced the two-pass composite to a
+LINEAR contraction against the unmerged payloads: only the pull-back weights
+u = PᵀAᵀw depend on the merged sample order (ref renderer.py:288-300 merge +
+ray_marcher.py:20-107 march semantics). Its XLA form still materializes the
+(B, R, S, S) rank one-hot and runs three masked reduces plus pad copies over
+it (~1.5 ms/frame HBM-bound at the serving shapes, docs/PERF.md r2). This
+kernel computes u entirely in VMEM with rays on the LANE axis:
+
+  * ranks by comparison count (list-1-first ties — bit-exact with the XLA
+    rank path): 2·S/2 broadcast compares over (S/2, lanes) tiles;
+  * merged depth/σ via a rank-indexed scatter into a (S, lanes) scratch
+    (dynamic single-row stores, fori_loop — no one-hot matrices);
+  * transmittance as an exclusive log-cumsum (Hillis–Steele over the static
+    sublane axis — log2(S) shift-adds, the same parallel-prefix trick as
+    ray_marcher.py);
+  * pull-back u[j] = c[rank_j] via a dynamic-row gather accumulate.
+
+Serving-path only (inference): `composite_two_pass(use_kernel=True)` routes
+here; training keeps the XLA path under jax.checkpoint (recomputed ranks).
+Opt-in via NFE_COMPOSITE_KERNEL until measured on hardware, like the
+resident-canvas variant (ops/triplane_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_LANE_BLOCK = 2048
+
+
+def _pullback_kernel(d1_ref, s1_ref, d2_ref, s2_ref, u_ref, md_ref, ms_ref, *,
+                     S1: int, S2: int):
+    """One (batch, ray-block) grid cell.
+
+    d1/s1: (1, S1, L) depths/σ of the per-ray sorted coarse list;
+    d2/s2: (1, S2, L) the (sorted) fine list; u: (1, S1+S2, L) out;
+    md/ms: (S, L) f32 VMEM scratch for the merged depth/σ lists.
+    """
+    S = S1 + S2
+    d1 = d1_ref[0]                                  # (S1, L)
+    d2 = d2_ref[0]                                  # (S2, L)
+    L = d1.shape[1]
+
+    # merged rank of every input: own index + count in the other list
+    # (ties put list-1 first — `<` vs `<=`, renderer.composite_two_pass).
+    def count1(j, acc):
+        row = lax.dynamic_slice_in_dim(d2, j, 1, axis=0)     # (1, L)
+        return acc + (row < d1).astype(jnp.int32)
+
+    def count2(j, acc):
+        row = lax.dynamic_slice_in_dim(d1, j, 1, axis=0)
+        return acc + (row <= d2).astype(jnp.int32)
+
+    iota1 = lax.broadcasted_iota(jnp.int32, (S1, L), 0)
+    iota2 = lax.broadcasted_iota(jnp.int32, (S2, L), 0)
+    rank1 = iota1 + lax.fori_loop(0, S2, count1, jnp.zeros((S1, L), jnp.int32))
+    rank2 = iota2 + lax.fori_loop(0, S1, count2, jnp.zeros((S2, L), jnp.int32))
+    ranks = jnp.concatenate([rank1, rank2], axis=0)  # (S, L)
+
+    d_all = jnp.concatenate([d1, d2], axis=0)
+    s_all = jnp.concatenate([s1_ref[0], s2_ref[0]], axis=0)
+
+    # scatter to merged order: row r of md/ms = the input whose rank is r
+    # (ranks is a per-ray permutation, so each masked sum hits exactly one).
+    def scatter(r, _):
+        m = ranks == r
+        md_ref[pl.ds(r, 1), :] = jnp.sum(jnp.where(m, d_all, 0.0), axis=0,
+                                         keepdims=True)
+        ms_ref[pl.ds(r, 1), :] = jnp.sum(jnp.where(m, s_all, 0.0), axis=0,
+                                         keepdims=True)
+        return _
+
+    lax.fori_loop(0, S, scatter, None)
+
+    m_d = md_ref[...]                                # (S, L)
+    m_s = ms_ref[...]
+
+    # march in merged space (ray_marcher.py semantics: softplus(σ−1) midpoint
+    # quadrature, exclusive log-cumsum transmittance).
+    deltas = m_d[1:] - m_d[:-1]                      # (S-1, L)
+    sig_mid = jax.nn.softplus((m_s[:-1] + m_s[1:]) * 0.5 - 1.0)
+    alpha = 1.0 - jnp.exp(-sig_mid * deltas)
+    logs = jnp.log(1.0 - alpha + 1e-10)
+
+    # inclusive prefix over the (static) sublane axis: Hillis–Steele —
+    # shift-down-by-k + add, k = 1, 2, 4, ... (zeros shifted in at the top).
+    acc = logs
+    k = 1
+    while k < S - 1:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((k, L), jnp.float32), acc[:-k]], axis=0)
+        k *= 2
+    t_excl = jnp.exp(acc - logs)                     # T at each segment
+    w = alpha * t_excl                               # (S-1, L)
+
+    # midpoint coefficients c_r = 0.5 (w_{r-1} + w_r), w_{-1} = w_{S-1} = 0
+    zero_row = jnp.zeros((1, L), jnp.float32)
+    c = 0.5 * (jnp.concatenate([zero_row, w], axis=0)
+               + jnp.concatenate([w, zero_row], axis=0))  # (S, L)
+    ms_ref[...] = c                                  # reuse scratch as c table
+
+    # pull back to input order: u[j] = c[rank_j] (dynamic-row gather).
+    def gather(r, acc_u):
+        return acc_u + jnp.where(ranks == r, ms_ref[pl.ds(r, 1), :], 0.0)
+
+    u_ref[0] = lax.fori_loop(0, S, gather, jnp.zeros((S, L), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
+def pullback_weights(depths1: jax.Array, densities1: jax.Array,
+                     depths2: jax.Array, densities2: jax.Array, *,
+                     lane_block: int = DEFAULT_LANE_BLOCK,
+                     interpret: bool = False) -> jax.Array:
+    """Marcher pull-back weights for two per-ray sorted sample lists.
+
+    depths/densities (B, R, S1|S2) → u (B, R, S1+S2) with
+    u[..., :S1] / u[..., S1:] the contraction weights for the coarse/fine
+    payloads — numerically equal to the u computed inside
+    `composite_two_pass` (same rank tie rule, same marcher math).
+    """
+    B, R, S1 = depths1.shape
+    S2 = depths2.shape[-1]
+    S = S1 + S2
+    # Pad the ray axis to a lane-friendly multiple (pad rays replicate ray 0:
+    # harmless, sliced off below).
+    Rp = -(-R // 128) * 128
+    L = min(lane_block, Rp)
+    Rp = -(-Rp // L) * L
+
+    def t(a):  # (B, R, Sx) → (B, Sx, Rp): rays on the minor (lane) axis
+        a = lax.stop_gradient(a).transpose(0, 2, 1)
+        if Rp != R:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, Rp - R)), mode="edge")
+        return a
+
+    spec = lambda Sx: pl.BlockSpec((1, Sx, L), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM)
+    u = pl.pallas_call(
+        functools.partial(_pullback_kernel, S1=S1, S2=S2),
+        grid=(B, Rp // L),
+        in_specs=[spec(S1), spec(S1), spec(S2), spec(S2)],
+        out_specs=spec(S),
+        out_shape=jax.ShapeDtypeStruct((B, S, Rp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, L), jnp.float32),
+                        pltpu.VMEM((S, L), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
+    )(t(depths1), t(densities1), t(depths2), t(densities2))
+    return u[:, :, :R].transpose(0, 2, 1)            # (B, R, S)

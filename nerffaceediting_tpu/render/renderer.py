@@ -247,7 +247,8 @@ def unify_samples(depths1, depths2, *value_pairs, assume_sorted: bool = True):
 
 
 def composite_two_pass(depths1, depths2, colors, densities, segs=None, *,
-                       clamp_mode: str = "softplus", white_back: bool = False):
+                       clamp_mode: str = "softplus", white_back: bool = False,
+                       use_kernel: bool = False):
     """Fused coarse+fine merge + ray march WITHOUT permuting the payload —
     the inference fast path replacing unify_samples → seg_mip_ray_marcher.
 
@@ -272,36 +273,47 @@ def composite_two_pass(depths1, depths2, colors, densities, segs=None, *,
     S1 = d1.shape[-1]
     S2 = d2.shape[-1]
     S = S1 + S2
-    # merged rank of every input element (ties put list-1 first)
-    less = d2[..., None, :] < d1[..., :, None]
-    rank1 = jnp.arange(S1) + jnp.sum(less, axis=-1)
-    leq = d1[..., None, :] <= d2[..., :, None]
-    rank2 = jnp.arange(S2) + jnp.sum(leq, axis=-1)
-    ranks = jnp.concatenate([rank1, rank2], axis=-1)        # (B, R, S)
-    out_pos = jnp.arange(S)
-    eq = out_pos[..., :, None] == ranks[..., None, :]       # (B, R, S out, S in)
-
-    # 1-channel merges (compare-select reduces — no payload traffic)
     d_all = jnp.concatenate([d1, d2], axis=-1)              # (B, R, S)
-    s_all = jnp.concatenate([densities[0][..., 0], densities[1][..., 0]],
-                            axis=-1)
-    m_d = jnp.sum(jnp.where(eq, d_all[..., None, :], 0.0), axis=-1)
-    m_s = jnp.sum(jnp.where(eq, s_all[..., None, :], 0.0), axis=-1)
 
-    # marcher weights in merged space (ref ray_marcher.py:26-45 semantics)
-    deltas = m_d[..., 1:] - m_d[..., :-1]
-    sigma_mid = jax.nn.softplus((m_s[..., :-1] + m_s[..., 1:]) * 0.5 - 1)
-    alpha = 1 - jnp.exp(-sigma_mid * deltas)                # (B, R, S-1)
-    logs = jnp.log(1.0 - alpha + 1e-10)
-    T = jnp.exp(jnp.cumsum(logs, axis=-1) - logs)           # exclusive
-    w = alpha * T                                           # (B, R, S-1)
-    wt = jnp.sum(w, axis=-1, keepdims=True)                 # (B, R, 1)
+    if use_kernel:
+        # VMEM merge+march Pallas kernel (ops/composite_kernel.py): same
+        # ranks/marcher math with rays on lanes — no (B,R,S,S) one-hot in
+        # HBM. Inference-path only (u is stop-gradient'ed inside).
+        from ..ops.composite_kernel import pullback_weights
 
-    # midpoint-accumulation coefficients c = Aᵀw, pulled back to input
-    # order u = Pᵀc (each input j contributes 0.5·(w_{r-1}+w_r) at r=rank_j)
-    c = 0.5 * (jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
-               + jnp.pad(w, ((0, 0), (0, 0), (1, 0))))      # (B, R, S)
-    u = jnp.sum(jnp.where(eq, c[..., :, None], 0.0), axis=-2)  # (B, R, S in)
+        u = pullback_weights(d1, densities[0][..., 0],
+                             d2, densities[1][..., 0])
+        wt = jnp.sum(u, axis=-1, keepdims=True)             # Σu = Σw
+    else:
+        # merged rank of every input element (ties put list-1 first)
+        less = d2[..., None, :] < d1[..., :, None]
+        rank1 = jnp.arange(S1) + jnp.sum(less, axis=-1)
+        leq = d1[..., None, :] <= d2[..., :, None]
+        rank2 = jnp.arange(S2) + jnp.sum(leq, axis=-1)
+        ranks = jnp.concatenate([rank1, rank2], axis=-1)    # (B, R, S)
+        out_pos = jnp.arange(S)
+        eq = out_pos[..., :, None] == ranks[..., None, :]   # (B, R, S out, S in)
+
+        # 1-channel merges (compare-select reduces — no payload traffic)
+        s_all = jnp.concatenate([densities[0][..., 0], densities[1][..., 0]],
+                                axis=-1)
+        m_d = jnp.sum(jnp.where(eq, d_all[..., None, :], 0.0), axis=-1)
+        m_s = jnp.sum(jnp.where(eq, s_all[..., None, :], 0.0), axis=-1)
+
+        # marcher weights in merged space (ref ray_marcher.py:26-45 semantics)
+        deltas = m_d[..., 1:] - m_d[..., :-1]
+        sigma_mid = jax.nn.softplus((m_s[..., :-1] + m_s[..., 1:]) * 0.5 - 1)
+        alpha = 1 - jnp.exp(-sigma_mid * deltas)            # (B, R, S-1)
+        logs = jnp.log(1.0 - alpha + 1e-10)
+        T = jnp.exp(jnp.cumsum(logs, axis=-1) - logs)       # exclusive
+        w = alpha * T                                       # (B, R, S-1)
+        wt = jnp.sum(w, axis=-1, keepdims=True)             # (B, R, 1)
+
+        # midpoint-accumulation coefficients c = Aᵀw, pulled back to input
+        # order u = Pᵀc (input j contributes 0.5·(w_{r-1}+w_r) at r=rank_j)
+        c = 0.5 * (jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
+                   + jnp.pad(w, ((0, 0), (0, 0), (1, 0))))  # (B, R, S)
+        u = jnp.sum(jnp.where(eq, c[..., :, None], 0.0), axis=-2)
     u1 = u[..., :S1]
     u2 = u[..., S1:]
 
@@ -518,8 +530,14 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         # path below is kept as the assume-nothing fallback.
         merge_fast = True
         if merge_fast:
+            # NFE_COMPOSITE_KERNEL=1: VMEM Pallas merge+march (inference
+            # only — training keeps the XLA path under jax.checkpoint).
+            import os as _os
+            use_kernel = (rng is None
+                          and jax.default_backend() in ("tpu", "axon")
+                          and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
             fn = partial(composite_two_pass, clamp_mode=cfg.clamp_mode,
-                         white_back=cfg.white_back)
+                         white_back=cfg.white_back, use_kernel=use_kernel)
             if rng is not None:
                 fn = jax.checkpoint(fn)
             rgb, seg, depth, wsum = fn(

@@ -352,6 +352,35 @@ class TestCompositeTwoPass:
         np.testing.assert_allclose(wt1, jnp.sum(w0, axis=2), rtol=1e-5,
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("tie", [False, True])
+    def test_pullback_kernel_matches_xla_path(self, tie):
+        """ops/composite_kernel.pullback_weights (interpret mode) must emit
+        the same pull-back weights as composite_two_pass's XLA rank path —
+        verified through the composite outputs, including exact cross-list
+        depth ties and a non-128-multiple ray count."""
+        from nerffaceediting_tpu.ops.composite_kernel import pullback_weights
+        from nerffaceediting_tpu.render.renderer import composite_two_pass
+
+        d1, d2, colors, densities, segs = self._inputs(seed=5, B=2, R=17)
+        if tie:
+            d2 = jnp.sort(d2.at[:, :, 0].set(d1[:, :, 4]), axis=2)
+        rgb0, seg0, dep0, wt0 = composite_two_pass(
+            d1, d2, colors, densities, segs, clamp_mode="softplus")
+
+        u = pullback_weights(d1[..., 0], densities[0][..., 0],
+                             d2[..., 0], densities[1][..., 0],
+                             interpret=True)
+        S1 = d1.shape[2]
+        u1, u2 = u[..., :S1], u[..., S1:]
+        rgb1 = (jnp.einsum("brs,brsc->brc", u1, colors[0])
+                + jnp.einsum("brs,brsc->brc", u2, colors[1])) * 2 - 1
+        seg1 = (jnp.einsum("brs,brsc->brc", u1, segs[0])
+                + jnp.einsum("brs,brsc->brc", u2, segs[1]))
+        wt1 = jnp.sum(u, axis=-1, keepdims=True)
+        np.testing.assert_allclose(rgb1, rgb0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(seg1, seg0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(wt1, wt0, rtol=1e-5, atol=1e-5)
+
     def test_no_seg_and_duplicate_depths(self):
         from nerffaceediting_tpu.render.renderer import (composite_two_pass,
                                                          unify_samples)
