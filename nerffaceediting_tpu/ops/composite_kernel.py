@@ -115,6 +115,115 @@ def _pullback_kernel(d1_ref, s1_ref, d2_ref, s2_ref, u_ref, md_ref, ms_ref, *,
     u_ref[0] = lax.fori_loop(0, S, gather, jnp.zeros((S, L), jnp.float32))
 
 
+def _importance_kernel(d_ref, s_ref, out_ref, *, S: int, n_imp: int):
+    """One (batch, ray-block) grid cell of the fused coarse-post pass:
+    marcher weights → _smooth_weights → deterministic inverse-CDF draws.
+
+    d/s: (1, S, L) sorted coarse depths / raw σ; out: (1, n_imp, L) fine
+    depths. Replicates render.renderer.{march_weights → sample_importance}
+    at rng=None (u = linspace(0,1,n_imp), ref renderer.py:214-253 det path).
+    """
+    d = d_ref[0]                                     # (S, L)
+    s = s_ref[0]
+    L = d.shape[1]
+
+    # marcher weights (ray_marcher.march_weights semantics)
+    deltas = d[1:] - d[:-1]
+    sig_mid = jax.nn.softplus((s[:-1] + s[1:]) * 0.5 - 1.0)
+    alpha = 1.0 - jnp.exp(-sig_mid * deltas)
+    logs = jnp.log(1.0 - alpha + 1e-10)
+    acc = logs
+    k = 1
+    while k < S - 1:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((k, L), jnp.float32), acc[:-k]], axis=0)
+        k *= 2
+    w = alpha * jnp.exp(acc - logs)                  # (S-1, L)
+
+    # smooth: ±inf-pad maxpool(2) → avgpool(2) + 0.01 (renderer.py:205-207)
+    neg_inf = jnp.full((1, L), -jnp.inf, jnp.float32)
+    wpad = jnp.concatenate([neg_inf, w, neg_inf], axis=0)   # (S+1, L)
+    maxed = jnp.maximum(wpad[:-1], wpad[1:])                # (S, L)
+    wsm = (maxed[:-1] + maxed[1:]) * 0.5 + 0.01             # (S-1, L)
+
+    bins = (d[:-1] + d[1:]) * 0.5                    # (S-1, L) z_mid
+    pw = wsm[1:-1] + 1e-5                            # (S-3, L)
+    Sw = S - 3
+    pdf = pw / jnp.sum(pw, axis=0, keepdims=True)
+    acc2 = pdf
+    k = 1
+    while k < Sw:
+        acc2 = acc2 + jnp.concatenate(
+            [jnp.zeros((k, L), jnp.float32), acc2[:-k]], axis=0)
+        k *= 2
+    cdf = jnp.concatenate([jnp.zeros((1, L), jnp.float32), acc2], axis=0)
+    # cdf: (Sw+1, L); bins: (S-1, L)
+
+    iota_c = lax.broadcasted_iota(jnp.int32, (Sw + 1, L), 0)
+    iota_b = lax.broadcasted_iota(jnp.int32, (S - 1, L), 0)
+    inv = 1.0 / (n_imp - 1)
+
+    def draw(j, _):
+        u = j.astype(jnp.float32) * inv              # scalar in [0, 1]
+        inds = jnp.sum((cdf <= u).astype(jnp.int32), axis=0, keepdims=True)
+        below = jnp.maximum(inds - 1, 0)             # (1, L)
+        above = jnp.minimum(inds, Sw)
+        cdf_lo = jnp.sum(jnp.where(iota_c == below, cdf, 0.0), axis=0,
+                         keepdims=True)
+        cdf_hi = jnp.sum(jnp.where(iota_c == above, cdf, 0.0), axis=0,
+                         keepdims=True)
+        bins_lo = jnp.sum(jnp.where(iota_b == below, bins, 0.0), axis=0,
+                          keepdims=True)
+        bins_hi = jnp.sum(jnp.where(iota_b == above, bins, 0.0), axis=0,
+                          keepdims=True)
+        denom = cdf_hi - cdf_lo
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        out_ref[0, pl.ds(j, 1), :] = (
+            bins_lo + (u - cdf_lo) / denom * (bins_hi - bins_lo))
+        return _
+
+    lax.fori_loop(0, n_imp, draw, None)
+
+
+@functools.partial(jax.jit, static_argnames=("n_imp", "lane_block",
+                                              "interpret"))
+def importance_depths(depths_c: jax.Array, densities_c: jax.Array,
+                      n_imp: int, *,
+                      lane_block: int = DEFAULT_LANE_BLOCK,
+                      interpret: bool = False) -> jax.Array:
+    """Fused deterministic importance resampling (serving path, rng=None).
+
+    depths_c/densities_c (B, R, S) sorted coarse samples → (B, R, n_imp)
+    fine depths — numerically equal to march_weights → sample_importance.
+    """
+    B, R, S = depths_c.shape
+    assert S >= 4 and n_imp >= 2, (S, n_imp)
+    Rp = -(-R // 128) * 128
+    L = min(lane_block, Rp)
+    Rp = -(-Rp // L) * L
+
+    def t(a):
+        a = lax.stop_gradient(a).transpose(0, 2, 1)
+        if Rp != R:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, Rp - R)), mode="edge")
+        return a
+
+    spec = lambda Sx: pl.BlockSpec((1, Sx, L), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_importance_kernel, S=S, n_imp=n_imp),
+        grid=(B, Rp // L),
+        in_specs=[spec(S), spec(S)],
+        out_specs=spec(n_imp),
+        out_shape=jax.ShapeDtypeStruct((B, n_imp, Rp), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
+    )(t(depths_c), t(densities_c))
+    return out[:, :, :R].transpose(0, 2, 1)          # (B, R, n_imp)
+
+
 @functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
 def pullback_weights(depths1: jax.Array, densities1: jax.Array,
                      depths2: jax.Array, densities2: jax.Array, *,

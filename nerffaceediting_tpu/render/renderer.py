@@ -509,15 +509,28 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
     colors_c, densities_c, segs_c = eval_at(depths_coarse, rngs[1])
     use_seg = with_seg and segs_c is not None
 
+    import os as _os
+    _serve_kernels = (rng is None
+                      and jax.default_backend() in ("tpu", "axon")
+                      and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
+
     N_imp = cfg.depth_resolution_importance
     if N_imp > 0:
-        # Weights-only marcher: the coarse composite is discarded when a fine
-        # pass follows (ref renderer.py:320-323 uses only `weights` here), so
-        # skip the rgb/seg/depth payload contractions entirely.
-        weights = march_weights(densities_c, depths_coarse,
-                                clamp_mode=cfg.clamp_mode)
+        if _serve_kernels:
+            # Fused coarse-post Pallas pass: march → smooth → inverse-CDF
+            # in VMEM (ops/composite_kernel.importance_depths).
+            from ..ops.composite_kernel import importance_depths
 
-        depths_fine = sample_importance(rngs[2], depths_coarse, weights, N_imp)
+            depths_fine = importance_depths(
+                depths_coarse[..., 0], densities_c[..., 0], N_imp)[..., None]
+        else:
+            # Weights-only marcher: the coarse composite is discarded when a
+            # fine pass follows (ref renderer.py:320-323 uses only `weights`
+            # here), so skip the rgb/seg/depth payload contractions entirely.
+            weights = march_weights(densities_c, depths_coarse,
+                                    clamp_mode=cfg.clamp_mode)
+            depths_fine = sample_importance(rngs[2], depths_coarse, weights,
+                                            N_imp)
         colors_f, densities_f, segs_f = eval_at(depths_fine, rngs[3])
 
         # Fused merge+march via the weight pull-back (composite_two_pass) —
@@ -532,12 +545,8 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         if merge_fast:
             # NFE_COMPOSITE_KERNEL=1: VMEM Pallas merge+march (inference
             # only — training keeps the XLA path under jax.checkpoint).
-            import os as _os
-            use_kernel = (rng is None
-                          and jax.default_backend() in ("tpu", "axon")
-                          and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
             fn = partial(composite_two_pass, clamp_mode=cfg.clamp_mode,
-                         white_back=cfg.white_back, use_kernel=use_kernel)
+                         white_back=cfg.white_back, use_kernel=_serve_kernels)
             if rng is not None:
                 fn = jax.checkpoint(fn)
             rgb, seg, depth, wsum = fn(

@@ -381,6 +381,24 @@ class TestCompositeTwoPass:
         np.testing.assert_allclose(seg1, seg0, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(wt1, wt0, rtol=1e-5, atol=1e-5)
 
+    def test_importance_kernel_matches_xla_path(self):
+        """ops/composite_kernel.importance_depths (interpret mode) must equal
+        march_weights → sample_importance at rng=None."""
+        from nerffaceediting_tpu.ops.composite_kernel import importance_depths
+        from nerffaceediting_tpu.render.ray_marcher import march_weights
+        from nerffaceediting_tpu.render.renderer import sample_importance
+
+        key = jax.random.key(11)
+        B, R, S, n_imp = 2, 17, 12, 7
+        d = jnp.sort(jax.random.uniform(jax.random.split(key)[0],
+                                        (B, R, S, 1)) + 2.0, axis=2)
+        s = jax.random.normal(jax.random.split(key)[1], (B, R, S, 1))
+        w = march_weights(s, d)
+        ref = sample_importance(None, d, w, n_imp)
+        got = importance_depths(d[..., 0], s[..., 0], n_imp,
+                                interpret=True)[..., None]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
     def test_no_seg_and_duplicate_depths(self):
         from nerffaceediting_tpu.render.renderer import (composite_two_pass,
                                                          unify_samples)
