@@ -38,7 +38,7 @@ def main():
     # nothing. Explicit env overrides pin a single variant (A/B sweeps).
     pinned = any(k in os.environ for k in (
         "NFE_BENCH_FRAMES", "NFE_BENCH_GROUP", "NFE_BENCH_FUSED",
-        "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS"))
+        "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL"))
     ladder = [{}] if pinned else [
         {},                                              # committed fastest
         {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "4"},   # r2-validated shape

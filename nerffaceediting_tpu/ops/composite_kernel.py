@@ -224,33 +224,125 @@ def importance_depths(depths_c: jax.Array, densities_c: jax.Array,
     return out[:, :, :R].transpose(0, 2, 1)          # (B, R, n_imp)
 
 
-@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
-def pullback_weights(depths1: jax.Array, densities1: jax.Array,
-                     depths2: jax.Array, densities2: jax.Array, *,
-                     lane_block: int = DEFAULT_LANE_BLOCK,
-                     interpret: bool = False) -> jax.Array:
-    """Marcher pull-back weights for two per-ray sorted sample lists.
+def _pullback_bwd_kernel(d1_ref, s1_ref, d2_ref, s2_ref, du_ref,
+                         ds_ref, md_ref, ms_ref, *, S1: int, S2: int):
+    """Adjoint of `_pullback_kernel` w.r.t. the DENSITIES (depth cotangents
+    are zero by contract — every caller stop-gradients sample depths, ref
+    renderer.py:198 importance stop-grad; stratified depths are camera data).
 
-    depths/densities (B, R, S1|S2) → u (B, R, S1+S2) with
-    u[..., :S1] / u[..., S1:] the contraction weights for the coarse/fine
-    payloads — numerically equal to the u computed inside
-    `composite_two_pass` (same rank tie rule, same marcher math).
-    """
-    B, R, S1 = depths1.shape
-    S2 = depths2.shape[-1]
+    du: (1, S, L) cotangent of u; ds out: (1, S, L) [dσ1; dσ2].
+    md/ms: (S, L) scratch. Recomputes the forward's merged state (cheap —
+    the residuals are just the 4 input lists)."""
     S = S1 + S2
-    # Pad the ray axis to a lane-friendly multiple (pad rays replicate ray 0:
-    # harmless, sliced off below).
+    d1 = d1_ref[0]
+    d2 = d2_ref[0]
+    L = d1.shape[1]
+
+    def count1(j, acc):
+        row = lax.dynamic_slice_in_dim(d2, j, 1, axis=0)
+        return acc + (row < d1).astype(jnp.int32)
+
+    def count2(j, acc):
+        row = lax.dynamic_slice_in_dim(d1, j, 1, axis=0)
+        return acc + (row <= d2).astype(jnp.int32)
+
+    iota1 = lax.broadcasted_iota(jnp.int32, (S1, L), 0)
+    iota2 = lax.broadcasted_iota(jnp.int32, (S2, L), 0)
+    rank1 = iota1 + lax.fori_loop(0, S2, count1, jnp.zeros((S1, L), jnp.int32))
+    rank2 = iota2 + lax.fori_loop(0, S1, count2, jnp.zeros((S2, L), jnp.int32))
+    ranks = jnp.concatenate([rank1, rank2], axis=0)
+
+    d_all = jnp.concatenate([d1, d2], axis=0)
+    s_all = jnp.concatenate([s1_ref[0], s2_ref[0]], axis=0)
+    du = du_ref[0]                                    # (S, L) input order
+
+    # scatter inputs AND the u-cotangent into merged order (dc[rank_j]=du_j)
+    def scatter(r, _):
+        m = ranks == r
+        md_ref[pl.ds(r, 1), :] = jnp.sum(jnp.where(m, d_all, 0.0), axis=0,
+                                         keepdims=True)
+        ms_ref[pl.ds(r, 1), :] = jnp.sum(jnp.where(m, s_all, 0.0), axis=0,
+                                         keepdims=True)
+        ds_ref[0, pl.ds(r, 1), :] = jnp.sum(jnp.where(m, du, 0.0), axis=0,
+                                            keepdims=True)
+        return _
+
+    lax.fori_loop(0, S, scatter, None)
+    m_d = md_ref[...]
+    m_s = ms_ref[...]
+    dc = ds_ref[0]                                    # (S, L) merged order
+
+    # recompute forward marcher state
+    deltas = m_d[1:] - m_d[:-1]
+    pre = (m_s[:-1] + m_s[1:]) * 0.5 - 1.0
+    sig_mid = jax.nn.softplus(pre)
+    ea = jnp.exp(-sig_mid * deltas)
+    alpha = 1.0 - ea
+    logs = jnp.log(1.0 - alpha + 1e-10)
+    acc = logs
+    k = 1
+    while k < S - 1:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((k, L), jnp.float32), acc[:-k]], axis=0)
+        k *= 2
+    T = jnp.exp(acc - logs)                           # (S-1, L)
+
+    # adjoints: c = 0.5(w_{r-1}+w_r) → dw[r] = 0.5(dc[r] + dc[r+1])
+    dw = 0.5 * (dc[:-1] + dc[1:])                     # (S-1, L)
+    # w = alpha·T
+    dalpha = dw * T
+    dT = dw * alpha
+    # T_r = exp(Σ_{q<r} logs_q) → dlogs_q = Σ_{r>q} dT_r·T_r (reverse-excl)
+    e = dT * T
+    racc = e
+    k = 1
+    while k < S - 1:
+        racc = racc + jnp.concatenate(
+            [racc[k:], jnp.zeros((k, L), jnp.float32)], axis=0)
+        k *= 2
+    dlogs = racc - e                                  # exclusive of own row
+    # logs = log(1−alpha+1e-10)
+    dalpha = dalpha - dlogs / (1.0 - alpha + 1e-10)
+    # alpha = 1 − exp(−sig_mid·Δ)
+    dsig = dalpha * ea * deltas
+    # sig_mid = softplus(pre), pre = 0.5(m_s[r]+m_s[r+1]) − 1
+    dpre = dsig * jax.nn.sigmoid(pre) * 0.5           # (S-1, L)
+    zero_row = jnp.zeros((1, L), jnp.float32)
+    dms = (jnp.concatenate([dpre, zero_row], axis=0)
+           + jnp.concatenate([zero_row, dpre], axis=0))  # (S, L) merged
+
+    ms_ref[...] = dms                                 # reuse scratch
+
+    # unscatter to input order: dσ_j = dms[rank_j]
+    def gather(r, acc_g):
+        return acc_g + jnp.where(ranks == r, ms_ref[pl.ds(r, 1), :], 0.0)
+
+    ds_ref[0] = lax.fori_loop(0, S, gather, jnp.zeros((S, L), jnp.float32))
+
+
+def _lane_geom(R: int, lane_block: int):
     Rp = -(-R // 128) * 128
     L = min(lane_block, Rp)
-    Rp = -(-Rp // L) * L
+    return -(-Rp // L) * L, L
 
-    def t(a):  # (B, R, Sx) → (B, Sx, Rp): rays on the minor (lane) axis
-        a = lax.stop_gradient(a).transpose(0, 2, 1)
-        if Rp != R:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, Rp - R)), mode="edge")
-        return a
 
+def _to_lanes(a, Rp):
+    a = a.transpose(0, 2, 1)
+    if Rp != a.shape[-1]:
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, Rp - a.shape[-1])), mode="edge")
+    return a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _pullback_core(d1, s1, d2, s2, lane_block, interpret):
+    return _pullback_fwd_impl(d1, s1, d2, s2, lane_block, interpret)
+
+
+def _pullback_fwd_impl(d1, s1, d2, s2, lane_block, interpret):
+    B, R, S1 = d1.shape
+    S2 = d2.shape[-1]
+    S = S1 + S2
+    Rp, L = _lane_geom(R, lane_block)
     spec = lambda Sx: pl.BlockSpec((1, Sx, L), lambda b, j: (b, 0, j),
                                    memory_space=pltpu.VMEM)
     u = pl.pallas_call(
@@ -265,5 +357,64 @@ def pullback_weights(depths1: jax.Array, densities1: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ) if not interpret else None,
-    )(t(depths1), t(densities1), t(depths2), t(densities2))
+    )(_to_lanes(lax.stop_gradient(d1), Rp),
+      _to_lanes(lax.stop_gradient(s1), Rp),
+      _to_lanes(lax.stop_gradient(d2), Rp),
+      _to_lanes(lax.stop_gradient(s2), Rp))
     return u[:, :, :R].transpose(0, 2, 1)            # (B, R, S)
+
+
+def _pullback_fwd(d1, s1, d2, s2, lane_block, interpret):
+    u = _pullback_fwd_impl(d1, s1, d2, s2, lane_block, interpret)
+    return u, (d1, s1, d2, s2)
+
+
+def _pullback_bwd(lane_block, interpret, residuals, du):
+    d1, s1, d2, s2 = residuals
+    B, R, S1 = d1.shape
+    S2 = d2.shape[-1]
+    S = S1 + S2
+    Rp, L = _lane_geom(R, lane_block)
+    du_t = jnp.pad(du.transpose(0, 2, 1), ((0, 0), (0, 0), (0, Rp - R)))
+    spec = lambda Sx: pl.BlockSpec((1, Sx, L), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM)
+    ds = pl.pallas_call(
+        functools.partial(_pullback_bwd_kernel, S1=S1, S2=S2),
+        grid=(B, Rp // L),
+        in_specs=[spec(S1), spec(S1), spec(S2), spec(S2), spec(S)],
+        out_specs=spec(S),
+        out_shape=jax.ShapeDtypeStruct((B, S, Rp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, L), jnp.float32),
+                        pltpu.VMEM((S, L), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
+    )(_to_lanes(d1, Rp), _to_lanes(s1, Rp),
+      _to_lanes(d2, Rp), _to_lanes(s2, Rp), du_t)
+    ds = ds[:, :, :R].transpose(0, 2, 1)
+    return (jnp.zeros_like(d1), ds[..., :S1],
+            jnp.zeros_like(d2), ds[..., S1:])
+
+
+_pullback_core.defvjp(_pullback_fwd, _pullback_bwd)
+
+
+def pullback_weights(depths1: jax.Array, densities1: jax.Array,
+                     depths2: jax.Array, densities2: jax.Array, *,
+                     lane_block: int = DEFAULT_LANE_BLOCK,
+                     interpret: bool = False) -> jax.Array:
+    """Marcher pull-back weights for two per-ray sorted sample lists.
+
+    depths/densities (B, R, S1|S2) → u (B, R, S1+S2) with
+    u[..., :S1] / u[..., S1:] the contraction weights for the coarse/fine
+    payloads — numerically equal to the u computed inside
+    `composite_two_pass` (same rank tie rule, same marcher math).
+
+    Differentiable w.r.t. DENSITIES via a mirrored backward kernel (the
+    reverse marcher chain: dc scatter → midpoint dw → reverse-exclusive
+    transmittance prefix → softplus-mid adjoint → rank unscatter); depth
+    gradients are zero by design (see _pullback_bwd_kernel docstring).
+    """
+    return _pullback_core(depths1, densities1, depths2, densities2,
+                          lane_block, interpret)

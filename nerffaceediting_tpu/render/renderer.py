@@ -278,7 +278,8 @@ def composite_two_pass(depths1, depths2, colors, densities, segs=None, *,
     if use_kernel:
         # VMEM merge+march Pallas kernel (ops/composite_kernel.py): same
         # ranks/marcher math with rays on lanes — no (B,R,S,S) one-hot in
-        # HBM. Inference-path only (u is stop-gradient'ed inside).
+        # HBM. Differentiable w.r.t. densities (mirrored backward kernel);
+        # depth grads are zero by design (callers stop-gradient depths).
         from ..ops.composite_kernel import pullback_weights
 
         u = pullback_weights(d1, densities[0][..., 0],
@@ -510,9 +511,14 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
     use_seg = with_seg and segs_c is not None
 
     import os as _os
-    _serve_kernels = (rng is None
-                      and jax.default_backend() in ("tpu", "axon")
-                      and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
+    _ck_env = (jax.default_backend() in ("tpu", "axon")
+               and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
+    _serve_kernels = rng is None and _ck_env
+    # Training may opt into the composite kernel too (its custom VJP handles
+    # the density gradients); the importance kernel stays serving-only — its
+    # inverse-CDF draws are deterministic, training needs the rng draws.
+    _train_merge_kernel = (rng is not None and _ck_env and _os.environ.get(
+        "NFE_COMPOSITE_KERNEL_TRAIN", "0") == "1")
 
     N_imp = cfg.depth_resolution_importance
     if N_imp > 0:
@@ -543,11 +549,15 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         # path below is kept as the assume-nothing fallback.
         merge_fast = True
         if merge_fast:
-            # NFE_COMPOSITE_KERNEL=1: VMEM Pallas merge+march (inference
-            # only — training keeps the XLA path under jax.checkpoint).
+            # NFE_COMPOSITE_KERNEL=1: VMEM Pallas merge+march. Training
+            # defaults to the XLA path under jax.checkpoint; with
+            # NFE_COMPOSITE_KERNEL_TRAIN=1 it uses the kernel instead (no
+            # checkpoint wrapper needed — the backward kernel recomputes the
+            # merged state itself from the tiny per-ray lists).
+            merge_kernel = _serve_kernels or _train_merge_kernel
             fn = partial(composite_two_pass, clamp_mode=cfg.clamp_mode,
-                         white_back=cfg.white_back, use_kernel=_serve_kernels)
-            if rng is not None:
+                         white_back=cfg.white_back, use_kernel=merge_kernel)
+            if rng is not None and not merge_kernel:
                 fn = jax.checkpoint(fn)
             rgb, seg, depth, wsum = fn(
                 depths_coarse, depths_fine, (colors_c, colors_f),

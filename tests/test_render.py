@@ -381,6 +381,35 @@ class TestCompositeTwoPass:
         np.testing.assert_allclose(seg1, seg0, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(wt1, wt0, rtol=1e-5, atol=1e-5)
 
+    def test_pullback_kernel_gradients_match_xla_path(self):
+        """The custom-VJP backward kernel must reproduce the XLA path's
+        density and payload gradients (depth grads are zero by contract —
+        callers stop-gradient depths)."""
+        from nerffaceediting_tpu.render.renderer import composite_two_pass
+
+        d1, d2, colors, densities, segs = self._inputs(seed=9, B=1, R=13)
+
+        def loss(dens, cols, use_kernel):
+            rgb, seg, dep, wt = composite_two_pass(
+                jax.lax.stop_gradient(d1), jax.lax.stop_gradient(d2),
+                cols, dens, segs, clamp_mode="softplus",
+                use_kernel=use_kernel)
+            return (jnp.sum(rgb * jnp.cos(rgb)) + jnp.sum(seg)
+                    + jnp.sum(dep) + jnp.sum(wt * wt))
+
+        # interpret-mode Pallas on CPU: route through the kernel explicitly
+        import nerffaceediting_tpu.ops.composite_kernel as ck
+
+        orig = ck.pullback_weights
+        try:
+            ck.pullback_weights = lambda *a, **k: orig(*a, interpret=True, **k)
+            gk = jax.grad(loss, argnums=(0, 1))(densities, colors, True)
+        finally:
+            ck.pullback_weights = orig
+        g0 = jax.grad(loss, argnums=(0, 1))(densities, colors, False)
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
     def test_importance_kernel_matches_xla_path(self):
         """ops/composite_kernel.importance_depths (interpret mode) must equal
         march_weights → sample_importance at rng=None."""
