@@ -709,6 +709,56 @@ def _fused_decode_kernel(bidx_ref, pts0_ref, pts1_ref, pts2_ref,
     out_ref[0] = jnp.concatenate([g, rgb], axis=0)
 
 
+def _fused_decode_kernel_resident(bidx_ref, pts0_ref, pts1_ref, pts2_ref,
+                                  canvas_ref, stats_ref,
+                                  w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                                  w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                                  out_ref, *, C: int, tile_p: int,
+                                  compute_dtype):
+    """Resident-canvas fused decode: the WHOLE 3-plane canvas
+    (3, nb, C·_WX, _WY) stays VMEM-resident (one HBM→VMEM copy, ~96 MB bf16
+    at the serving geometry — v5e has 128 MB) and each plane's window is a
+    dynamic VMEM index — replacing the 3×512 KB per-tile canvas DMAs that
+    bound the streaming variant at ~40% MXU (docs/PERF.md)."""
+    j = pl.program_id(0)
+    acc_n = jnp.zeros((C, tile_p), jnp.float32)
+    acc_d = jnp.zeros((C, tile_p), jnp.float32)
+    for p, pts_ref in enumerate((pts0_ref, pts1_ref, pts2_ref)):
+        w2 = canvas_ref[p, bidx_ref[p, j]]            # (C·_WX, _WY) view
+        WX = w2.shape[0] // C
+        WY = w2.shape[1]
+        rel_y = pts_ref[0, 0, :]
+        rel_x = pts_ref[0, 1, :]
+        wy1 = pts_ref[0, 2, :]
+        wx1 = pts_ref[0, 3, :]
+        wsum = pts_ref[0, 4, :]
+        ry_t = _onehot2_t(rel_y.astype(jnp.int32), wy1, WY, tile_p,
+                          compute_dtype)
+        rx_t = _onehot2_t(rel_x.astype(jnp.int32), wx1, WX, tile_p,
+                          jnp.float32)
+        t = jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)
+        s = jnp.sum(t.reshape(C, WX, tile_p) * rx_t[None], axis=1)
+        acc_n += s
+        mean = stats_ref[p, 0, :][:, None]
+        var = stats_ref[p, 1, :][:, None]
+        acc_d += s * var + mean * wsum[None, :]
+
+    xn = acc_n * (1.0 / 3.0)
+    xd = acc_d * (1.0 / 3.0)
+    hg = jax.nn.softplus(
+        jnp.dot(w0g_ref[...], xn, preferred_element_type=jnp.float32)
+        + b0g_ref[...])
+    g = (jnp.dot(w1g_ref[...], hg, preferred_element_type=jnp.float32)
+         + b1g_ref[...])
+    ha = jax.nn.softplus(
+        jnp.dot(w0a_ref[...], xd, preferred_element_type=jnp.float32)
+        + b0a_ref[...])
+    rgb_lin = (jnp.dot(w1a_ref[...], ha, preferred_element_type=jnp.float32)
+               + b1a_ref[...])
+    rgb = jax.nn.sigmoid(rgb_lin) * (1 + 2 * 0.001) - 0.001
+    out_ref[0] = jnp.concatenate([g, rgb], axis=0)
+
+
 def _effective_decoder(decoder_params, plane_stats, C: int,
                        lr_multiplier: float):
     """Equalized-lr effective decoder weights (models/layers.fully_connected
@@ -849,29 +899,41 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     RGB = w1a.shape[0]
     OUT = 1 + SEG + RGB
 
-    kernel = functools.partial(_fused_decode_kernel, C=C, tile_p=tile_p,
-                               compute_dtype=jnp.dtype(compute_dtype))
+    resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
     full = lambda a: pl.BlockSpec(a.shape, lambda j, b_ref: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    nb = canvas.shape[1]
 
     def fused_call(bidx_c, pts_c):
         nt_c = pts_c.shape[2] // tile_p
+        pts_specs = [
+            pl.BlockSpec((1, 5, tile_p), lambda j, b, p=p: (p, 0, j),
+                         memory_space=pltpu.VMEM)
+            for p in range(3)
+        ]
+        if resident:
+            kernel = functools.partial(
+                _fused_decode_kernel_resident, C=C, tile_p=tile_p,
+                compute_dtype=jnp.dtype(compute_dtype))
+            canvas_specs = [pl.BlockSpec((3, nb, C * _WX, _WY),
+                                         lambda j, b: (0, 0, 0, 0),
+                                         memory_space=pltpu.VMEM)]
+            canvas_args = (canvas,)
+        else:
+            kernel = functools.partial(
+                _fused_decode_kernel, C=C, tile_p=tile_p,
+                compute_dtype=jnp.dtype(compute_dtype))
+            canvas_specs = [
+                pl.BlockSpec((1, 1, C * _WX, _WY),
+                             lambda j, b, p=p: (p, b[p, j], 0, 0),
+                             memory_space=pltpu.VMEM)
+                for p in range(3)
+            ]
+            canvas_args = (canvas, canvas, canvas)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt_c,),
-            in_specs=[
-                pl.BlockSpec((1, 5, tile_p), lambda j, b: (0, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 5, tile_p), lambda j, b: (1, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 5, tile_p), lambda j, b: (2, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (0, b[0, j], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (1, b[1, j], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, C * _WX, _WY), lambda j, b: (2, b[2, j], 0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=pts_specs + canvas_specs + [
                 full(stats), full(w0g), full(b0g), full(w1g), full(b1g),
                 full(w0a), full(b0a), full(w1a), full(b1a),
             ],
@@ -884,9 +946,10 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
             out_shape=jax.ShapeDtypeStruct((1, OUT, pts_c.shape[2]), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                # resident: 3×32 MB canvases + tiles must fit (v5e: 128 MB)
+                vmem_limit_bytes=(120 if resident else 100) * 1024 * 1024,
             ) if not interpret else None,
-        )(bidx_c, pts_c[0:1], pts_c[1:2], pts_c[2:3], canvas, canvas, canvas,
+        )(bidx_c, pts_c[0:1], pts_c[1:2], pts_c[2:3], *canvas_args,
           stats, w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
 
     # The TPU backend's layout math overflows for pallas operands with a

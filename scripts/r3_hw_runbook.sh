@@ -36,6 +36,8 @@ if want train "${ARGS[@]}"; then
   stage train_b4_amp 3600 python scripts/bench_train.py 4 1 1
   stage train_b8_amp 3600 python scripts/bench_train.py 8 1 1
   stage train_b16m2_amp 4500 python scripts/bench_train.py 16 2 1
+  stage train_b4_amp_ck 3600 env NFE_COMPOSITE_KERNEL=1 \
+    NFE_COMPOSITE_KERNEL_TRAIN=1 python scripts/bench_train.py 4 1 1
 fi
 
 # 5. HLO-attributed serving profile (feeds the long-tail fusion audit)

@@ -314,3 +314,33 @@ class TestResidentCanvas:
         jax.clear_caches()
         np.testing.assert_allclose(np.asarray(res), np.asarray(base),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_resident_fused_decode_matches_streaming(self, monkeypatch):
+        """The resident-canvas variant of the FUSED sampling+decode kernel
+        (3-plane canvas VMEM-resident, dynamic window select) must equal the
+        streaming fused path."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample_decode)
+
+        rng = np.random.default_rng(31)
+        planes = jnp.asarray(rng.normal(size=(3, 64, 64, 32)).astype(np.float32))
+        base = np.stack(np.meshgrid(
+            np.linspace(-0.3, 0.3, 8), np.linspace(-0.3, 0.3, 8),
+            np.linspace(-0.1, 0.1, 4), indexing="ij"), -1)
+        coords = jnp.asarray(base.reshape(1, 256, 3).astype(np.float32))
+        dec = init_disentangled_osg_decoder(jax.random.key(3))
+        mean = jnp.asarray(rng.normal(size=(1, 3, 32)).astype(np.float32))
+        var = jnp.asarray(np.abs(rng.normal(size=(1, 3, 32))).astype(np.float32))
+        kw = dict(ray_shape=(8, 8, 4), tile_p=64,
+                  compute_dtype=jnp.float32, interpret=True)
+        a = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        monkeypatch.setattr(tk, "_RESIDENT_FORCE", True)
+        jax.clear_caches()
+        b = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        jax.clear_caches()
+        for k in ("sigma", "seg", "rgb"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-6, atol=1e-6)
