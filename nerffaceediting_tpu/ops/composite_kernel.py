@@ -115,14 +115,16 @@ def _pullback_kernel(d1_ref, s1_ref, d2_ref, s2_ref, u_ref, md_ref, ms_ref, *,
     u_ref[0] = lax.fori_loop(0, S, gather, jnp.zeros((S, L), jnp.float32))
 
 
-def _importance_kernel(d_ref, s_ref, out_ref, *, S: int, n_imp: int):
+def _importance_kernel(d_ref, s_ref, u_ref, out_ref, *, S: int, n_imp: int,
+                       det: bool):
     """One (batch, ray-block) grid cell of the fused coarse-post pass:
-    marcher weights → _smooth_weights → deterministic inverse-CDF draws.
+    marcher weights → _smooth_weights → inverse-CDF draws.
 
-    d/s: (1, S, L) sorted coarse depths / raw σ; out: (1, n_imp, L) fine
-    depths. Replicates render.renderer.{march_weights → sample_importance}
-    at rng=None (u = linspace(0,1,n_imp), ref renderer.py:214-253 det path).
-    """
+    d/s: (1, S, L) sorted coarse depths / raw σ; u: (1, n_imp, L) PER-RAY
+    SORTED uniforms in [0,1] (training's order-statistics draw happens
+    outside; det=True ignores u and uses linspace(0,1,n_imp) — the rng=None
+    serving path, ref renderer.py:214-253); out: (1, n_imp, L) fine depths.
+    Replicates render.renderer.{march_weights → sample_importance}."""
     d = d_ref[0]                                     # (S, L)
     s = s_ref[0]
     L = d.shape[1]
@@ -164,7 +166,10 @@ def _importance_kernel(d_ref, s_ref, out_ref, *, S: int, n_imp: int):
     inv = 1.0 / (n_imp - 1)
 
     def draw(j, _):
-        u = j.astype(jnp.float32) * inv              # scalar in [0, 1]
+        if det:
+            u = j.astype(jnp.float32) * inv          # scalar in [0, 1]
+        else:
+            u = lax.dynamic_slice_in_dim(u_ref[0], j, 1, axis=0)  # (1, L)
         inds = jnp.sum((cdf <= u).astype(jnp.int32), axis=0, keepdims=True)
         below = jnp.maximum(inds - 1, 0)             # (1, L)
         above = jnp.minimum(inds, Sw)
@@ -188,13 +193,16 @@ def _importance_kernel(d_ref, s_ref, out_ref, *, S: int, n_imp: int):
 @functools.partial(jax.jit, static_argnames=("n_imp", "lane_block",
                                               "interpret"))
 def importance_depths(depths_c: jax.Array, densities_c: jax.Array,
-                      n_imp: int, *,
+                      n_imp: int, *, u: "jax.Array | None" = None,
                       lane_block: int = DEFAULT_LANE_BLOCK,
                       interpret: bool = False) -> jax.Array:
-    """Fused deterministic importance resampling (serving path, rng=None).
+    """Fused importance resampling (the coarse-post pass).
 
     depths_c/densities_c (B, R, S) sorted coarse samples → (B, R, n_imp)
     fine depths — numerically equal to march_weights → sample_importance.
+    u: optional (B, R, n_imp) PER-RAY SORTED uniforms (training's
+    order-statistics draw, renderer.sample_pdf rng path); None = the
+    deterministic linspace draw (serving, rng=None).
     """
     B, R, S = depths_c.shape
     assert S >= 4 and n_imp >= 2, (S, n_imp)
@@ -204,23 +212,26 @@ def importance_depths(depths_c: jax.Array, densities_c: jax.Array,
 
     def t(a):
         a = lax.stop_gradient(a).transpose(0, 2, 1)
-        if Rp != R:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, Rp - R)), mode="edge")
+        if Rp != a.shape[-1]:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, Rp - a.shape[-1])),
+                        mode="edge")
         return a
 
+    det = u is None
+    u_in = (jnp.zeros((B, n_imp, Rp), jnp.float32) if det else t(u))
     spec = lambda Sx: pl.BlockSpec((1, Sx, L), lambda b, j: (b, 0, j),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_importance_kernel, S=S, n_imp=n_imp),
+        functools.partial(_importance_kernel, S=S, n_imp=n_imp, det=det),
         grid=(B, Rp // L),
-        in_specs=[spec(S), spec(S)],
+        in_specs=[spec(S), spec(S), spec(n_imp)],
         out_specs=spec(n_imp),
         out_shape=jax.ShapeDtypeStruct((B, n_imp, Rp), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ) if not interpret else None,
-    )(t(depths_c), t(densities_c))
+    )(t(depths_c), t(densities_c), u_in)
     return out[:, :, :R].transpose(0, 2, 1)          # (B, R, n_imp)
 
 

@@ -522,13 +522,22 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
 
     N_imp = cfg.depth_resolution_importance
     if N_imp > 0:
-        if _serve_kernels:
+        if _serve_kernels or _train_merge_kernel:
             # Fused coarse-post Pallas pass: march → smooth → inverse-CDF
-            # in VMEM (ops/composite_kernel.importance_depths).
+            # in VMEM (ops/composite_kernel.importance_depths). Training
+            # passes the order-statistics uniform draw in (identical to
+            # sample_pdf's rng path — same key, same shapes).
             from ..ops.composite_kernel import importance_depths
 
+            u = None
+            if rng is not None:
+                e = -jnp.log(1.0 - jax.random.uniform(
+                    rngs[2], (B * R, N_imp + 1), jnp.float32))
+                s_cum = jnp.cumsum(e, axis=-1)
+                u = (s_cum[:, :-1] / s_cum[:, -1:]).reshape(B, R, N_imp)
             depths_fine = importance_depths(
-                depths_coarse[..., 0], densities_c[..., 0], N_imp)[..., None]
+                depths_coarse[..., 0], densities_c[..., 0], N_imp,
+                u=u)[..., None]
         else:
             # Weights-only marcher: the coarse composite is discarded when a
             # fine pass follows (ref renderer.py:320-323 uses only `weights`

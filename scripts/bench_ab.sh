@@ -15,6 +15,8 @@ run() {
 
 run baseline NFE_NOOP=0
 run composite-kernel NFE_COMPOSITE_KERNEL=1
+run fused+resident NFE_RESIDENT_CANVAS=1
+run fused+resident+composite NFE_RESIDENT_CANVAS=1 NFE_COMPOSITE_KERNEL=1
 run decomposed NFE_BENCH_FUSED=0
 run decomposed+resident NFE_BENCH_FUSED=0 NFE_RESIDENT_CANVAS=1
 run sr-bf16 NFE_BENCH_SR_BF16=1

@@ -428,6 +428,17 @@ class TestCompositeTwoPass:
                                 interpret=True)[..., None]
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+        # rng path: pass the order-statistics draw in (sample_pdf rng path)
+        rng = jax.random.key(3)
+        ref_r = sample_importance(rng, d, w, n_imp)
+        e = -jnp.log(1.0 - jax.random.uniform(rng, (B * R, n_imp + 1),
+                                              jnp.float32))
+        s_cum = jnp.cumsum(e, axis=-1)
+        u = (s_cum[:, :-1] / s_cum[:, -1:]).reshape(B, R, n_imp)
+        got_r = importance_depths(d[..., 0], s[..., 0], n_imp, u=u,
+                                  interpret=True)[..., None]
+        np.testing.assert_allclose(got_r, ref_r, rtol=1e-5, atol=1e-6)
+
     def test_no_seg_and_duplicate_depths(self):
         from nerffaceediting_tpu.render.renderer import (composite_two_pass,
                                                          unify_samples)
