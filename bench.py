@@ -38,7 +38,8 @@ def main():
     # nothing. Explicit env overrides pin a single variant (A/B sweeps).
     pinned = any(k in os.environ for k in (
         "NFE_BENCH_FRAMES", "NFE_BENCH_GROUP", "NFE_BENCH_FUSED",
-        "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL"))
+        "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL",
+        "NFE_WIN_GEOM"))
     ladder = [{}] if pinned else [
         {},                                              # committed fastest
         {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "4"},   # r2-validated shape
@@ -146,7 +147,13 @@ def _run():
                               cams.reshape(-1, GROUP, cams.shape[-1]))
         return acc
 
-    float(edited_orbit(params, planes_src, planes_sty, ws, cams))  # compile
+    acc0 = float(edited_orbit(params, planes_src, planes_sty, ws, cams))  # compile
+    if not np.isfinite(acc0):
+        # statically-coherent kernel poisons with NaN when a tile violates
+        # the window-span predicate — fail the variant loudly (the ladder
+        # falls back) instead of timing garbage.
+        raise FloatingPointError("non-finite frame checksum (window-span "
+                                 "predicate violated for this geometry?)")
 
     n_iters = 4
     t0 = time.perf_counter()

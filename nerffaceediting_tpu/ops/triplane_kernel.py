@@ -66,10 +66,16 @@ DEFAULT_TILE_P = 256    # points per inner MXU tile
 # optimization, never a semantics change.
 # Window geometry note (measured, r2): shrinking windows/strides (56/8,
 # 96/32) cuts one-hot FLOPs 34% but INCREASES canvas-block switching and
-# runs ~1.3-1.5x SLOWER — the kernel is DMA/pipeline-bound, not FLOP-bound.
-# 64/16 + 128/64 is the measured optimum of that trade.
+# runs ~1.3-1.5x SLOWER — the STREAMING kernel is DMA/pipeline-bound, not
+# FLOP-bound; 64/16 + 128/64 is its measured optimum. The RESIDENT-canvas
+# variants remove the per-tile DMA, so smaller windows may pay there —
+# NFE_WIN_GEOM="WX,SX,WY,SY" overrides for hardware A/B (canvas size scales
+# with (WX/SX)·(WY/SY); keep WY a lane multiple of 128 for layout, or pad).
 _WX, _SX = 64, 16       # x-window edge / stride (plane W axis, MXU rows)
 _WY, _SY = 128, 64      # y-window edge / stride (plane H axis, MXU K dim)
+if os.environ.get("NFE_WIN_GEOM"):
+    _WX, _SX, _WY, _SY = (int(v) for v in
+                          os.environ["NFE_WIN_GEOM"].split(","))
 _PADL = 8               # left zero-margin of every window
 _PATCH = (8, 8, 4)      # (ray-rows, ray-cols, depth) per tile = 256 points
 

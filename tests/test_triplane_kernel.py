@@ -315,6 +315,28 @@ class TestResidentCanvas:
         np.testing.assert_allclose(np.asarray(res), np.asarray(base),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_nondefault_window_geometry(self, monkeypatch):
+        """NFE_WIN_GEOM alternates (here 32,8,64,32) must stay exact — the
+        windowed path is an optimization whose geometry never changes
+        results (fallback predicate handles violations)."""
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+
+        rng = np.random.default_rng(29)
+        coords = TestWindowedFastPath._ray_coords(rng)
+        planes = jnp.asarray(rng.normal(size=(1, 3, 32, 64, 64)).astype(np.float32))
+        kw = dict(box_warp=1.0, ray_shape=(16, 16, 8), interpret=True,
+                  compute_dtype=jnp.float32)
+        base = sample_from_planes_fused(planes, coords, **kw)
+        monkeypatch.setattr(tk, "_WX", 32)
+        monkeypatch.setattr(tk, "_SX", 8)
+        monkeypatch.setattr(tk, "_WY", 64)
+        monkeypatch.setattr(tk, "_SY", 32)
+        jax.clear_caches()
+        alt = sample_from_planes_fused(planes, coords, **kw)
+        jax.clear_caches()
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_resident_fused_decode_matches_streaming(self, monkeypatch):
         """The resident-canvas variant of the FUSED sampling+decode kernel
         (3-plane canvas VMEM-resident, dynamic window select) must equal the
