@@ -418,6 +418,12 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
     return out
 
 
+def _kernel_backend_ok() -> bool:
+    """Gate for the Pallas composite/importance kernels (tests monkeypatch
+    this to exercise the kernel wiring in interpret mode on CPU)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _ray_bounds(ray_origins, ray_directions, cfg: RenderingConfig):
     if not cfg.ray_auto:
         return cfg.ray_start, cfg.ray_end
@@ -511,7 +517,7 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
     use_seg = with_seg and segs_c is not None
 
     import os as _os
-    _ck_env = (jax.default_backend() in ("tpu", "axon")
+    _ck_env = (_kernel_backend_ok()
                and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
     _serve_kernels = rng is None and _ck_env
     # Training may opt into the composite kernel too (its custom VJP handles

@@ -313,6 +313,46 @@ class TestRenderRays:
         for t in (rgb, seg, depth, wsum):
             assert np.all(np.isfinite(np.asarray(t)))
 
+    @pytest.mark.parametrize("train", [False, True])
+    def test_kernel_path_integration(self, monkeypatch, train):
+        """render_rays with the composite/importance Pallas kernels engaged
+        (interpret mode, backend gate monkeypatched) must match the XLA
+        path end-to-end — serving (rng=None) and training (rng) wiring."""
+        import nerffaceediting_tpu.ops.composite_kernel as ck
+        import nerffaceediting_tpu.render.renderer as rr
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder, disentangled_osg_decoder)
+
+        cfg = ffhq_rendering_config(depth_resolution=12,
+                                    depth_resolution_importance=12)
+        params = init_disentangled_osg_decoder(jax.random.key(0))
+        planes = jax.random.normal(jax.random.key(1), (1, 3, 32, 32, 32)) * 0.1
+        origins = jnp.zeros((1, 16, 3)).at[..., 2].set(-2.7)
+        dirs = jnp.zeros((1, 16, 3)).at[..., 2].set(1.0)
+        rng = jax.random.key(7) if train else None
+        dec = lambda p, xn, xd: disentangled_osg_decoder(p, xn, xd)
+
+        base = render_rays(dec, params, planes, planes, origins, dirs, cfg,
+                           rng=rng)
+
+        monkeypatch.setattr(rr, "_kernel_backend_ok", lambda: True)
+        monkeypatch.setenv("NFE_COMPOSITE_KERNEL", "1")
+        if train:
+            monkeypatch.setenv("NFE_COMPOSITE_KERNEL_TRAIN", "1")
+        orig_pb = ck.pullback_weights
+        monkeypatch.setattr(
+            ck, "pullback_weights",
+            lambda *a, **k: orig_pb(*a, **{**k, "interpret": True}))
+        orig_imp = ck.importance_depths
+        monkeypatch.setattr(
+            ck, "importance_depths",
+            lambda *a, **k: orig_imp(*a, **{**k, "interpret": True}))
+        got = render_rays(dec, params, planes, planes, origins, dirs, cfg,
+                          rng=rng)
+        for a, b in zip(got, base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
 
 class TestCompositeTwoPass:
     """composite_two_pass (fused merge+march via weight pull-back) must be
