@@ -20,6 +20,9 @@ run fused+resident+composite NFE_RESIDENT_CANVAS=1 NFE_COMPOSITE_KERNEL=1
 # smaller windows only make sense with a resident canvas (no per-tile DMA)
 run resident+win64 NFE_RESIDENT_CANVAS=1 NFE_WIN_GEOM=64,16,64,32
 run resident+win3264 NFE_RESIDENT_CANVAS=1 NFE_WIN_GEOM=32,8,64,32
+# y-stride = y-window: 4x canvas (48 MB resident total) — VMEM-safe hedge;
+# straddling tiles NaN-poison and the bench ladder reports the failure
+run resident+sy128 NFE_RESIDENT_CANVAS=1 NFE_WIN_GEOM=64,16,128,128
 run decomposed NFE_BENCH_FUSED=0
 run decomposed+resident NFE_BENCH_FUSED=0 NFE_RESIDENT_CANVAS=1
 run sr-bf16 NFE_BENCH_SR_BF16=1
