@@ -12,6 +12,13 @@ cd "$(dirname "$0")/.."
 # would otherwise re-pay the full phase-compile bill.
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/nfe_jaxcache}
 
+# XLA:CPU's LLVM JIT allocates mmap regions per compiled code section; the
+# training loop's program set crosses the default vm.max_map_count=65530
+# around the first snapshot tick (measured 66k+ maps → LLVM ENOMEM →
+# SIGSEGV, r3). Only affects the CPU-backend rehearsal path; TPU compiles
+# remotely. Best-effort raise (root; ignored otherwise).
+sysctl -w vm.max_map_count=1048576 >/dev/null 2>&1 || true
+
 OUT=${1:-runs/demo}
 S1=${2:-600}
 S2=${3:-1200}
