@@ -30,6 +30,9 @@ def _chan(res):
     return min(CBASE // res, CMAX)
 
 
+_FAKE_MODS = ("dnnlib", "dnnlib.tflib", "dnnlib.tflib.network")
+
+
 def _fake_network_class():
     """Register a dnnlib.tflib.network.Network lookalike so pickling by
     reference produces the legacy module path."""
@@ -48,10 +51,24 @@ def _fake_network_class():
     Network.__qualname__ = "Network"
     dnnlib.tflib = tflib
     tflib.network = network
+    for m in (dnnlib, tflib, network):
+        m.__nfe_fake__ = True
     sys.modules["dnnlib"] = dnnlib
     sys.modules["dnnlib.tflib"] = tflib
     sys.modules[mod_name] = network
     return Network
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _unregister_fake_dnnlib():
+    """Drop the fake modules after this file's tests: a stale fake `dnnlib`
+    in sys.modules shadows the reference's real one and breaks
+    test_torch_parity.py when both run in the same process."""
+    yield
+    for name in _FAKE_MODS:
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, "__nfe_fake__", False):
+            del sys.modules[name]
 
 
 def _rand(rng, *shape):
