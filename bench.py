@@ -30,38 +30,55 @@ V100_BASELINE_FPS = 25.0
 #   NFE_RESIDENT_CANVAS (read by ops/triplane_kernel) — resident-canvas kernel
 
 
+_LADDER_KEYS = (
+    "NFE_BENCH_FRAMES", "NFE_BENCH_GROUP", "NFE_BENCH_FUSED",
+    "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL",
+    "NFE_WIN_GEOM", "NFE_MERGE_PULLBACK")
+
+
 def main():
     # Fallback ladder: the default settings are the fastest measured
     # configuration, but if an aggressive setting fails to compile on the
     # driver's chip (Mosaic/VMEM regressions are environment-sensitive),
     # retry progressively more conservative variants rather than reporting
     # nothing. Explicit env overrides pin a single variant (A/B sweeps).
-    pinned = any(k in os.environ for k in (
-        "NFE_BENCH_FRAMES", "NFE_BENCH_GROUP", "NFE_BENCH_FUSED",
-        "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL",
-        "NFE_WIN_GEOM"))
-    ladder = [{}] if pinned else [
-        {},                                              # committed fastest
-        {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "4"},   # r2-validated shape
-        {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "1",
-         "NFE_BENCH_FUSED": "0"},                        # most conservative
+    # The JSON line carries WHICH rung produced the number ("variant") and
+    # every crashed upper rung ("fallbacks") so a fast-path regression is
+    # visible in BENCH_r*.json instead of masquerading as a slowdown
+    # (VERDICT r3 weak #5).
+    pinned = any(k in os.environ for k in _LADDER_KEYS)
+    ladder = [("pinned", {})] if pinned else [
+        ("default", {}),                                 # committed fastest
+        ("f16g4", {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "4"}),
+        ("f16g1-decomposed", {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "1",
+                              "NFE_BENCH_FUSED": "0"}),  # most conservative
     ]
+    base_env = {k: os.environ.get(k) for k in _LADDER_KEYS}
     last_err = None
-    for overrides in ladder:
+    fallbacks = []
+    for name, overrides in ladder:
+        for k, v in base_env.items():  # reset leakage from the prior rung
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         os.environ.update(overrides)
         try:
-            return _run()
+            return _run(variant=name, fallbacks=fallbacks)
         except Exception as e:  # noqa: BLE001 — report via the next rung
             last_err = e
             import traceback
             traceback.print_exc()
             import sys
-            print(f"bench variant {overrides or 'default'} failed; "
-                  f"falling back", file=sys.stderr)
+            fallbacks.append({"variant": name,
+                              "error": f"{type(e).__name__}: "
+                                       + str(e).splitlines()[0][:160]})
+            print(f"bench variant {name} failed; falling back",
+                  file=sys.stderr)
     raise last_err
 
 
-def _run():
+def _run(variant: str = "pinned", fallbacks=None):
     from jax import lax
 
     from nerffaceediting_tpu.ops import precision as prec
@@ -167,6 +184,8 @@ def _run():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+        "variant": variant,
+        "fallbacks": fallbacks or [],
     }))
 
 

@@ -27,6 +27,11 @@ def main(argv=None):
                         "torchscript/torchvision; auto prefers jax")
     p.add_argument("--cache-dir", default=".metric-cache")
     p.add_argument("--run-dir", default=None)
+    p.add_argument("--sg3-checkpoint", default=None,
+                   help="SG3 generator checkpoint for eqt50k_int/eqt50k_frac/"
+                        "eqr50k (the EQ metrics are SG3-specific, ref "
+                        "metric_main.py:100-114); expects {params, static} "
+                        "or a converted pickle")
     args = p.parse_args(argv)
 
     from ..config import ffhq_generator_config
@@ -52,10 +57,23 @@ def main(argv=None):
     if feature_fn is None:
         feature_fn = inception_features_fn(args.inception)
 
+    sg3_params = sg3_static = None
+    if args.sg3_checkpoint:
+        sg3 = load_checkpoint(args.sg3_checkpoint)
+        sg3_params, sg3_static = sg3["params"], sg3["static"]
+
+    probs_fn = None
+    if "is50k" in args.metrics:
+        from ..metrics.inception_jax import inception_probs_fn_jax
+
+        probs_fn = inception_probs_fn_jax()
+
     for metric in args.metrics.split(","):
         result = calc_metric(
             metric.strip(), params=params, cfg=cfg, dataset=dataset,
-            feature_fn=feature_fn, num_real=args.num_real, num_gen=args.num_gen,
+            feature_fn=feature_fn, probs_fn=probs_fn,
+            sg3_params=sg3_params, sg3_static=sg3_static,
+            num_real=args.num_real, num_gen=args.num_gen,
             batch=args.batch, cache_dir=args.cache_dir,
         )
         report_metric(result, run_dir=args.run_dir, snapshot=args.checkpoint)

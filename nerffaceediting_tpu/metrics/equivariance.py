@@ -68,6 +68,50 @@ def eqt_psnr(params: Dict, static: Dict, *, num_samples: int = 32,
     return 10 * math.log10(4.0 / max(mse, 1e-20))  # signal range (−1,1) → peak 2
 
 
+def _subpixel_shift(img: jnp.ndarray, tx: float, ty: float) -> jnp.ndarray:
+    """Exact fractional-pixel translation of a band-limited image via FFT
+    phase shift — the TPU-native equivalent of the reference's
+    `apply_fractional_translation` (ref metrics/equivariance.py:36-57,
+    which uses a windowed-sinc resampler; SG3 outputs are band-limited by
+    construction so the Fourier shift is exact up to the border wrap,
+    which the caller crops)."""
+    H, W = img.shape[-2], img.shape[-1]
+    fy = jnp.fft.fftfreq(H)[:, None]
+    fx = jnp.fft.fftfreq(W)[None, :]
+    phase = jnp.exp(-2j * jnp.pi * (fy * ty + fx * tx))
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) * phase))
+
+
+def eqt_frac_psnr(params: Dict, static: Dict, *, num_samples: int = 32,
+                  z_dim: int = 512, translate_max: float = 0.125,
+                  seed: int = 0) -> float:
+    """EQ-T (fractional): PSNR between input-translated generation and
+    subpixel-shifted generation over continuous shifts
+    (ref equivariance.py:194-227 eqt50k_frac)."""
+    from ..models.stylegan3 import sg3_generate
+
+    res = static["img_resolution"]
+    rng = jax.random.key(seed)
+    mses = []
+    for i in range(num_samples):
+        k = jax.random.fold_in(rng, i)
+        kz, kt = jax.random.split(k)
+        z = jax.random.normal(kz, (1, z_dim))
+        t_pix = jax.random.uniform(kt, (2,), minval=-res * translate_max,
+                                   maxval=res * translate_max)
+        tx_p, ty_p = float(t_pix[0]), float(t_pix[1])
+        tx, ty = tx_p / res * 2, ty_p / res * 2
+        ref = sg3_generate(_with_transform(params, _translate_transform(tx, ty)),
+                           static, z, None)
+        base = sg3_generate(params, static, z, None)
+        shifted = _subpixel_shift(base, tx_p, ty_p)
+        m = int(res * translate_max) + 2
+        diff = (ref - shifted)[..., m:-m, m:-m]
+        mses.append(float(jnp.mean(jnp.square(diff))))
+    mse = float(np.mean(mses))
+    return 10 * math.log10(4.0 / max(mse, 1e-20))
+
+
 def eqr_psnr(params: Dict, static: Dict, *, num_samples: int = 16,
              z_dim: int = 512, seed: int = 0) -> float:
     """EQ-R: PSNR between input-rotated generation and image-rotated

@@ -149,16 +149,26 @@ def inception_features(params: Dict, img255: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(2, 3))  # (B, 2048)
 
 
+def inception_probs(params: Dict, img255: jax.Array) -> jax.Array:
+    """Classifier softmax over the 1000 ImageNet classes — the IS input
+    (ref metrics/inception_score.py:25-27 captures the softmax output)."""
+    feats = inception_features(params, img255)
+    fc = params["fc"]
+    logits = feats @ fc["weight"].T + fc["bias"]
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def convert_inception_state_dict(sd) -> Dict:
-    """torchvision inception_v3().state_dict() → our pytree (drops fc,
-    AuxLogits, num_batches_tracked)."""
+    """torchvision inception_v3().state_dict() → our pytree (drops
+    AuxLogits and num_batches_tracked; keeps fc for the IS classifier
+    head, ref metrics/inception_score.py:27 uses the softmax output)."""
 
     def to_np(v):
         return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 
     params: Dict = {}
     for name, value in sd.items():
-        if name.startswith(("fc.", "AuxLogits.")) or name.endswith("num_batches_tracked"):
+        if name.startswith("AuxLogits.") or name.endswith("num_batches_tracked"):
             continue
         node = params
         parts = name.split(".")
@@ -251,6 +261,9 @@ def init_inception(key) -> Dict:
     params["Mixed_7a"] = idd(768)
     params["Mixed_7b"] = ie(1280)
     params["Mixed_7c"] = ie(2048)
+    k = keys[counter[0]]
+    params["fc"] = {"weight": jax.random.normal(k, (1000, 2048)) / 2048 ** 0.5,
+                    "bias": jnp.zeros((1000,))}
     return params
 
 
@@ -273,6 +286,36 @@ def inception_features_fn_jax(params: Optional[Dict] = None, batch: int = 16):
                 "$NFE_INCEPTION_WEIGHTS (torchvision inception_v3 state_dict)")
 
     fwd = jax.jit(lambda imgs: inception_features(params, imgs))
+
+    def fn(imgs: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(imgs.transpose(0, 3, 1, 2).astype(np.float32))
+        return np.asarray(fwd(x))
+
+    return fn
+
+
+def inception_probs_fn_jax(params: Optional[Dict] = None):
+    """Like inception_features_fn_jax but returns the classifier softmax
+    (N, 1000) — the Inception-Score input. Requires the fc head (kept by
+    convert_inception_state_dict; present in init_inception fixtures)."""
+    import os
+
+    if params is None:
+        path = os.environ.get("NFE_INCEPTION_WEIGHTS")
+        if path and os.path.exists(path):
+            import torch
+
+            params = convert_inception_state_dict(
+                torch.load(path, map_location="cpu"))
+        else:
+            raise RuntimeError(
+                "inception_probs_fn_jax needs params or "
+                "$NFE_INCEPTION_WEIGHTS (torchvision inception_v3 state_dict)")
+    if "fc" not in params:
+        raise RuntimeError("inception params lack the fc classifier head "
+                           "needed for IS (reconvert with a full state_dict)")
+
+    fwd = jax.jit(lambda imgs: inception_probs(params, imgs))
 
     def fn(imgs: np.ndarray) -> np.ndarray:
         x = jnp.asarray(imgs.transpose(0, 3, 1, 2).astype(np.float32))

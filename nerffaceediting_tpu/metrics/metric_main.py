@@ -310,6 +310,63 @@ def pr(params=None, cfg=None, dataset=None, feature_fn=None, num_real=10000,
 
 
 @register_metric
+def is50k(params=None, cfg=None, probs_fn=None, num_gen=50000, batch=8,
+          num_splits=10, **kw):
+    """Inception Score over generated images (ref metric_main.py:95-99
+    is50k → metrics/inception_score.py:20). probs_fn: uint8 NHWC →
+    (N, 1000) classifier softmax; defaults to the JAX InceptionV3 head
+    (metrics/inception_jax.inception_probs_fn_jax)."""
+    if probs_fn is None:
+        from .inception_jax import inception_probs_fn_jax
+
+        probs_fn = inception_probs_fn_jax()
+    rng = jax.random.key(0)
+    all_probs = []
+    for imgs in images_from_generator(params, cfg, num_gen, batch, rng):
+        all_probs.append(probs_fn(imgs))
+    mean, std = inception_score(np.concatenate(all_probs), num_splits)
+    return {"is_mean": mean, "is_std": std}
+
+
+@register_metric
+def eqt50k_int(sg3_params=None, sg3_static=None, num_samples=32,
+               z_dim=512, **kw):
+    """SG3 translation equivariance, integer-pixel shifts
+    (ref metric_main.py:100-104 eqt50k_int → equivariance.py:194)."""
+    from .equivariance import eqt_psnr
+
+    if sg3_params is None or sg3_static is None:
+        raise ValueError("eqt50k_int needs sg3_params/sg3_static (an SG3 "
+                         "generator — EQ metrics are SG3-specific)")
+    return {"eqt_int": eqt_psnr(sg3_params, sg3_static,
+                                num_samples=num_samples, z_dim=z_dim)}
+
+
+@register_metric
+def eqt50k_frac(sg3_params=None, sg3_static=None, num_samples=32,
+                z_dim=512, **kw):
+    """SG3 translation equivariance, fractional shifts (FFT subpixel
+    comparison; ref metric_main.py:105-109 eqt50k_frac)."""
+    from .equivariance import eqt_frac_psnr
+
+    if sg3_params is None or sg3_static is None:
+        raise ValueError("eqt50k_frac needs sg3_params/sg3_static")
+    return {"eqt_frac": eqt_frac_psnr(sg3_params, sg3_static,
+                                      num_samples=num_samples, z_dim=z_dim)}
+
+
+@register_metric
+def eqr50k(sg3_params=None, sg3_static=None, num_samples=16, z_dim=512, **kw):
+    """SG3 rotation equivariance (ref metric_main.py:110-114 eqr50k)."""
+    from .equivariance import eqr_psnr
+
+    if sg3_params is None or sg3_static is None:
+        raise ValueError("eqr50k needs sg3_params/sg3_static")
+    return {"eqr": eqr_psnr(sg3_params, sg3_static,
+                            num_samples=num_samples, z_dim=z_dim)}
+
+
+@register_metric
 def ppl(params=None, cfg=None, feature_fn=None, num_samples=2000, batch=4,
         epsilon=1e-4, seed=0, **kw):
     """Perceptual path length in W (ref metrics/perceptual_path_length.py:96):

@@ -52,16 +52,20 @@ def _pullback_kernel(d1_ref, s1_ref, d2_ref, s2_ref, u_ref, md_ref, ms_ref, *,
 
     # merged rank of every input: own index + count in the other list
     # (ties put list-1 first — `<` vs `<=`, renderer.composite_two_pass).
+    # Row selection is a masked max (value-level dynamic_slice does not
+    # lower in Mosaic — only ref indexing may be dynamic).
+    iota1 = lax.broadcasted_iota(jnp.int32, (S1, L), 0)
+    iota2 = lax.broadcasted_iota(jnp.int32, (S2, L), 0)
+    neg = jnp.float32(-jnp.inf)
+
     def count1(j, acc):
-        row = lax.dynamic_slice_in_dim(d2, j, 1, axis=0)     # (1, L)
+        row = jnp.max(jnp.where(iota2 == j, d2, neg), axis=0, keepdims=True)
         return acc + (row < d1).astype(jnp.int32)
 
     def count2(j, acc):
-        row = lax.dynamic_slice_in_dim(d1, j, 1, axis=0)
+        row = jnp.max(jnp.where(iota1 == j, d1, neg), axis=0, keepdims=True)
         return acc + (row <= d2).astype(jnp.int32)
 
-    iota1 = lax.broadcasted_iota(jnp.int32, (S1, L), 0)
-    iota2 = lax.broadcasted_iota(jnp.int32, (S2, L), 0)
     rank1 = iota1 + lax.fori_loop(0, S2, count1, jnp.zeros((S1, L), jnp.int32))
     rank2 = iota2 + lax.fori_loop(0, S1, count2, jnp.zeros((S2, L), jnp.int32))
     ranks = jnp.concatenate([rank1, rank2], axis=0)  # (S, L)
@@ -169,7 +173,7 @@ def _importance_kernel(d_ref, s_ref, u_ref, out_ref, *, S: int, n_imp: int,
         if det:
             u = j.astype(jnp.float32) * inv          # scalar in [0, 1]
         else:
-            u = lax.dynamic_slice_in_dim(u_ref[0], j, 1, axis=0)  # (1, L)
+            u = u_ref[0, pl.ds(j, 1), :]             # (1, L) dynamic ref read
         inds = jnp.sum((cdf <= u).astype(jnp.int32), axis=0, keepdims=True)
         below = jnp.maximum(inds - 1, 0)             # (1, L)
         above = jnp.minimum(inds, Sw)
@@ -249,16 +253,18 @@ def _pullback_bwd_kernel(d1_ref, s1_ref, d2_ref, s2_ref, du_ref,
     d2 = d2_ref[0]
     L = d1.shape[1]
 
+    iota1 = lax.broadcasted_iota(jnp.int32, (S1, L), 0)
+    iota2 = lax.broadcasted_iota(jnp.int32, (S2, L), 0)
+    neg = jnp.float32(-jnp.inf)
+
     def count1(j, acc):
-        row = lax.dynamic_slice_in_dim(d2, j, 1, axis=0)
+        row = jnp.max(jnp.where(iota2 == j, d2, neg), axis=0, keepdims=True)
         return acc + (row < d1).astype(jnp.int32)
 
     def count2(j, acc):
-        row = lax.dynamic_slice_in_dim(d1, j, 1, axis=0)
+        row = jnp.max(jnp.where(iota1 == j, d1, neg), axis=0, keepdims=True)
         return acc + (row <= d2).astype(jnp.int32)
 
-    iota1 = lax.broadcasted_iota(jnp.int32, (S1, L), 0)
-    iota2 = lax.broadcasted_iota(jnp.int32, (S2, L), 0)
     rank1 = iota1 + lax.fori_loop(0, S2, count1, jnp.zeros((S1, L), jnp.int32))
     rank2 = iota2 + lax.fori_loop(0, S1, count2, jnp.zeros((S2, L), jnp.int32))
     ranks = jnp.concatenate([rank1, rank2], axis=0)

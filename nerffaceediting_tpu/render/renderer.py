@@ -562,7 +562,9 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         # the (B,R,S,S) rank comparisons are recomputed in the backward
         # pass instead of living in HBM (VERDICT r1 weak #7); the argsort
         # path below is kept as the assume-nothing fallback.
-        merge_fast = True
+        # NFE_MERGE_PULLBACK=0 falls back to the r2 unify+marcher merge —
+        # kept as a bisect/A-B switch for the pull-back path.
+        merge_fast = _os.environ.get("NFE_MERGE_PULLBACK", "1") == "1"
         if merge_fast:
             # NFE_COMPOSITE_KERNEL=1: VMEM Pallas merge+march. Training
             # defaults to the XLA path under jax.checkpoint; with
@@ -583,7 +585,7 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
             all_depths, all_colors, all_densities, all_segs = unify_samples(
                 depths_coarse, depths_fine,
                 (colors_c, colors_f), (densities_c, densities_f), (segs_c, segs_f),
-                assume_sorted=merge_fast)
+                assume_sorted=rng is None)
             rgb, seg, depth, weights = seg_mip_ray_marcher(
                 all_colors, all_segs, all_densities, all_depths,
                 clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)
@@ -591,7 +593,7 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
             all_depths, all_colors, all_densities = unify_samples(
                 depths_coarse, depths_fine,
                 (colors_c, colors_f), (densities_c, densities_f),
-                assume_sorted=merge_fast)
+                assume_sorted=rng is None)
             rgb, depth, weights = mip_ray_marcher(
                 all_colors, all_densities, all_depths,
                 clamp_mode=cfg.clamp_mode, white_back=cfg.white_back)

@@ -5,12 +5,12 @@ can run while another process owns the chip.
 Usage: python scripts/diag_compile.py [stage ...]
 stages: fused1 (single fused-decode frame), composite (composite_two_pass
 XLA path), marchw (weights-only marcher), windowed (decomposed sampling
-kernel), orbit1 (1-frame full decode), scan4 (4-frame scan group).
+kernel), scan1/scan2/scan4 (G-frame scan groups with the hoisted canvas),
+scan1nh/scan2nh/scan4nh (same without the canvas hoist — per-frame build).
 """
 
 import os
 import sys
-import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,10 +21,14 @@ import jax.numpy as jnp
 
 def main():
     want = sys.argv[1:]
+    stages = {"fused1", "composite", "marchw", "windowed",
+              "scan1", "scan2", "scan4", "scan1nh", "scan2nh", "scan4nh"}
+    unknown = [w for w in want if w not in stages]
+    if unknown:
+        sys.exit(f"unknown stage(s) {unknown}; valid: {sorted(stages)}")
     from nerffaceediting_tpu.config import ffhq_generator_config
     from nerffaceediting_tpu.models import triplane
-    from nerffaceediting_tpu.editing.api import (
-        decode, encode, plane_canvas, swap_appearance_stats)
+    from nerffaceediting_tpu.editing.api import decode, plane_canvas
     from nerffaceediting_tpu.render.cameras import (
         camera_params, fov_to_intrinsics, lookat_pose)
 
@@ -85,11 +89,11 @@ def main():
     check("windowed", one_frame_dec, norm, stats, cam)
 
     # --- G-frame scan group over the fused path (bench body shape) ---
-    def make_scan(G, n_frames=8):
+    def make_scan(G, hoist: bool, n_frames=8):
         def scanG(norm, stats, cams):
             params = triplane.init_generator(jax.random.key(0), cfg)
             ws = jnp.zeros((1, n_ws, cfg.w_dim))
-            canvas = plane_canvas(norm)
+            canvas = plane_canvas(norm) if hoist else None
 
             def body(acc, cam_group):
                 for k in range(G):
@@ -106,8 +110,10 @@ def main():
         return scanG, jnp.concatenate([cam] * n_frames)
 
     for G in (1, 2, 4):
-        fn, cams = make_scan(G)
+        fn, cams = make_scan(G, hoist=True)
         check(f"scan{G}", fn, norm, stats, cams)
+        fn, cams = make_scan(G, hoist=False)
+        check(f"scan{G}nh", fn, norm, stats, cams)
 
 
 if __name__ == "__main__":

@@ -94,7 +94,58 @@ class TestPrecisionRecall:
 
 
 def test_registry():
-    assert {"fid", "kid", "pr", "ppl"} <= set(list_metrics())
+    # full reference surface (ref metric_main.py:87-114): fid50k_full,
+    # kid50k_full, pr50k3_full, ppl2_wend, is50k, eqt50k_int/frac, eqr50k
+    assert {"fid", "kid", "pr", "ppl", "is50k",
+            "eqt50k_int", "eqt50k_frac", "eqr50k"} <= set(list_metrics())
+
+
+class TestRegisteredIS:
+    def test_probs_head_and_is(self):
+        """inception_probs returns a valid softmax and the registered IS
+        math consumes it (pinned: keyed-random fc head on fixture images
+        is maximally uninformative → IS ≈ 1)."""
+        import jax
+
+        from nerffaceediting_tpu.metrics.inception_jax import (
+            init_inception, inception_probs_fn_jax)
+
+        params = init_inception(jax.random.key(0))
+        fn = inception_probs_fn_jax(params)
+        imgs = TestPinnedRegressionValues._fixture_images(1, 10.0)
+        probs = fn(imgs)
+        assert probs.shape == (24, 1000)
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+        score, std = inception_score(probs, num_splits=3)
+        np.testing.assert_allclose(score, 1.0002907514572144, rtol=1e-3)
+
+
+class TestRegisteredEquivariance:
+    @pytest.mark.slow
+    def test_eqt_eqr_registered_on_tiny_sg3(self):
+        """eqt50k_int / eqt50k_frac / eqr50k run through calc_metric on a
+        tiny random SG3 generator and return finite PSNRs (ref
+        metric_main.py:100-114)."""
+        import jax
+
+        from nerffaceediting_tpu.metrics.metric_main import calc_metric
+        from nerffaceediting_tpu.models.stylegan3 import init_sg3_generator
+
+        params, static = init_sg3_generator(
+            jax.random.key(0), z_dim=8, c_dim=0, w_dim=8, img_resolution=32,
+            channel_base=512, channel_max=16, num_layers=4, num_critical=2)
+        for name, key in (("eqt50k_int", "eqt_int"),
+                          ("eqt50k_frac", "eqt_frac"),
+                          ("eqr50k", "eqr")):
+            r = calc_metric(name, sg3_params=params, sg3_static=static,
+                            num_samples=2, z_dim=8)
+            assert np.isfinite(r["results"][key]), (name, r)
+
+    def test_eq_metrics_require_sg3(self):
+        from nerffaceediting_tpu.metrics.metric_main import calc_metric
+
+        with pytest.raises(ValueError, match="sg3"):
+            calc_metric("eqt50k_int")
 
 
 class TestPinnedRegressionValues:
