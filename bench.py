@@ -48,8 +48,11 @@ def main():
     # (VERDICT r3 weak #5).
     pinned = any(k in os.environ for k in _LADDER_KEYS)
     ladder = [("pinned", {})] if pinned else [
-        ("default", {}),                                 # committed fastest
-        ("f16g4", {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "4"}),
+        ("default", {}),                   # committed fastest (70.8 fps r4)
+        # known-compiling alternates (r4 LLO-crash matrix, runs/hw_r4):
+        # >=2 frames/scan-body only compiles with the r2-style merge
+        ("f64g2-unify", {"NFE_BENCH_FRAMES": "64", "NFE_BENCH_GROUP": "2",
+                         "NFE_MERGE_PULLBACK": "0"}),    # 63.0 fps r4
         ("f16g1-decomposed", {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "1",
                               "NFE_BENCH_FUSED": "0"}),  # most conservative
     ]
@@ -130,7 +133,12 @@ def _run(variant: str = "pinned", fallbacks=None):
         for i in range(n_frames)
     ])  # (n_frames, 25)
 
-    GROUP = int(os.environ.get("NFE_BENCH_GROUP", "4"))  # frames per scan body
+    # Frames per scan body. 1 is the r4 measured optimum AND the compile-safe
+    # choice: the current libtpu's custom-call input windowing SIGABRTs
+    # (llo::CouldLtS32) on >=2 fused-decode frames per body with the
+    # pull-back merge (bisect matrix in runs/hw_r4/, docs/PERF.md r4) — and
+    # G=1+pullback (70.8 fps) beats every compiling G>=2 variant anyway.
+    GROUP = int(os.environ.get("NFE_BENCH_GROUP", "1"))  # frames per scan body
     sr_dtype = (jnp.bfloat16 if os.environ.get("NFE_BENCH_SR_BF16") == "1"
                 else jnp.float32)
     # NFE_BENCH_FUSED=0: decomposed render (windowed sampling kernel + XLA

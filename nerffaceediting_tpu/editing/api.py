@@ -107,8 +107,11 @@ def render_video(params, ws, norm_planes, cfg: GeneratorConfig,
     if mesh is not None:
         from ..parallel.serving import orbit_sharded
 
-        f_local = num_frames // mesh.shape["data"]
-        group = max(g for g in (4, 3, 2, 1) if f_local % g == 0)
+        # 1 frame/scan-body: the r4 measured optimum AND the compile-safe
+        # choice — >=2 fused-decode frames per body SIGABRT the current
+        # libtpu's custom-call windowing with the pull-back merge
+        # (runs/hw_r4 bisect matrix, docs/PERF.md r4).
+        group = 1
 
         @jax.jit
         def orbit(params, ws, norm_planes, stats, cams):
