@@ -23,10 +23,12 @@ import jax.numpy as jnp
 
 V100_BASELINE_FPS = 25.0
 
-# A/B overrides (bench experiments; defaults are the committed fastest):
-#   NFE_BENCH_FRAMES  — orbit length per dispatch (default 64)
-#   NFE_BENCH_GROUP   — frames per scan body (default 4)
-#   NFE_BENCH_SR_BF16 — 1: run the SR module with bf16 activations
+# A/B overrides (bench experiments; defaults are the committed fastest —
+# the r4 sweep table in docs/PERF.md, logs in runs/hw_r4/):
+#   NFE_BENCH_FRAMES  — orbit length per dispatch (default 128)
+#   NFE_BENCH_GROUP   — frames per scan body (default 1; >=2 with the
+#                       pull-back merge SIGABRTs the current libtpu)
+#   NFE_BENCH_SR_BF16 — SR module activation dtype (default 1 = bf16)
 #   NFE_RESIDENT_CANVAS (read by ops/triplane_kernel) — resident-canvas kernel
 
 
@@ -48,12 +50,17 @@ def main():
     # (VERDICT r3 weak #5).
     pinned = any(k in os.environ for k in _LADDER_KEYS)
     ladder = [("pinned", {})] if pinned else [
-        ("default", {}),                   # committed fastest (70.8 fps r4)
-        # known-compiling alternates (r4 LLO-crash matrix, runs/hw_r4):
-        # >=2 frames/scan-body only compiles with the r2-style merge
+        ("default", {}),                   # committed fastest (83.7 fps r4)
+        # known-compiling alternates (r4 LLO-crash matrix + sweep,
+        # runs/hw_r4): fp32 SR next, then the r2-style merge at group 2,
+        # then the decomposed kernel as the most conservative rung.
+        ("f64g1-fp32sr", {"NFE_BENCH_FRAMES": "64", "NFE_BENCH_GROUP": "1",
+                          "NFE_BENCH_SR_BF16": "0"}),    # 70.8 fps r4
         ("f64g2-unify", {"NFE_BENCH_FRAMES": "64", "NFE_BENCH_GROUP": "2",
+                         "NFE_BENCH_SR_BF16": "0",
                          "NFE_MERGE_PULLBACK": "0"}),    # 63.0 fps r4
         ("f16g1-decomposed", {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "1",
+                              "NFE_BENCH_SR_BF16": "0",
                               "NFE_BENCH_FUSED": "0"}),  # most conservative
     ]
     base_env = {k: os.environ.get(k) for k in _LADDER_KEYS}
@@ -94,7 +101,7 @@ def _run(variant: str = "pinned", fallbacks=None):
     from nerffaceediting_tpu.config import ffhq_generator_config
     from nerffaceediting_tpu.models import triplane
     from nerffaceediting_tpu.editing.api import (
-        decode, encode, plane_canvas, swap_appearance_stats)
+        decode_frames, encode, plane_canvas, swap_appearance_stats)
     from nerffaceediting_tpu.render.cameras import (
         camera_params, fov_to_intrinsics, lookat_pose)
 
@@ -119,10 +126,10 @@ def _run(variant: str = "pinned", fallbacks=None):
     # device program (lax.scan over frames) — the production video path.
     # Per-dispatch tunnel latency (~30-40 ms in this environment) would
     # otherwise dominate; a real serving system amortizes it the same way.
-    # 64 frames ≈ one second of orbit video per dispatch: long enough to
-    # amortize the ~35-40 ms tunnel dispatch + per-orbit canvas build that
-    # a 16-frame orbit left visible (~2.5 ms/frame, measured r3).
-    n_frames = int(os.environ.get("NFE_BENCH_FRAMES", "64"))
+    # 128 frames ≈ two seconds of orbit video per dispatch: long enough to
+    # amortize the ~35-40 ms tunnel dispatch + per-orbit canvas build
+    # (f64→f128 measured +1.5 fps, f128→f256 +0.5 — the r4 sweep).
+    n_frames = int(os.environ.get("NFE_BENCH_FRAMES", "128"))
     cams = jnp.concatenate([
         camera_params(
             lookat_pose(np.pi / 2 + 0.4 * np.sin(2 * np.pi * i / n_frames),
@@ -133,13 +140,17 @@ def _run(variant: str = "pinned", fallbacks=None):
         for i in range(n_frames)
     ])  # (n_frames, 25)
 
-    # Frames per scan body. 1 is the r4 measured optimum AND the compile-safe
-    # choice: the current libtpu's custom-call input windowing SIGABRTs
-    # (llo::CouldLtS32) on >=2 fused-decode frames per body with the
-    # pull-back merge (bisect matrix in runs/hw_r4/, docs/PERF.md r4) — and
-    # G=1+pullback (70.8 fps) beats every compiling G>=2 variant anyway.
+    # Frames per scan body, rendered as ONE flattened decode_frames call
+    # (NOT per-frame decode calls: >=2 separate fused-decode calls per body
+    # SIGABRT the current libtpu's custom-call windowing with the pull-back
+    # merge — bisect matrix in runs/hw_r4/, docs/PERF.md r4. The flattened
+    # form is a single fused-decode call whatever the group, so it dodges
+    # that limit while amortizing the ~1.9 ms/iteration scan overhead).
     GROUP = int(os.environ.get("NFE_BENCH_GROUP", "1"))  # frames per scan body
-    sr_dtype = (jnp.bfloat16 if os.environ.get("NFE_BENCH_SR_BF16") == "1"
+    # bf16 SR activations (weights stay fp32): +13 fps measured (r4 sweep
+    # D vs A), output parity eyeballed + the reference itself runs its SR
+    # stack in fp16 (ref superresolution.py use_fp16=True).
+    sr_dtype = (jnp.bfloat16 if os.environ.get("NFE_BENCH_SR_BF16", "1") == "1"
                 else jnp.float32)
     # NFE_BENCH_FUSED=0: decomposed render (windowed sampling kernel + XLA
     # decoder MLPs) instead of the fused sampling+decode kernel — the path
@@ -157,16 +168,13 @@ def _run(variant: str = "pinned", fallbacks=None):
             # serving config: statically-coherent windowed kernel (validated
             # once per workload via fast_path_pred) + fused sampling/decoder
             # epilogue — the r2 kernel additions (ops/triplane_kernel.py).
-            acc = carry
-            for k in range(GROUP):
-                out = decode(params, ws, cam_group[k][None], norm, None, cfg,
-                             plane_stats=stats, coherent=True,
-                             fused_decoder=fused, canvas=canvas,
-                             sr_dtype=sr_dtype)
-                # scalar checksum forces execution; frames would stream to
-                # the encoder in production
-                acc = acc + jnp.sum(out["image"])
-            return acc, None
+            out = decode_frames(params, ws, cam_group, norm, None, cfg,
+                                plane_stats=stats, coherent=True,
+                                fused_decoder=fused, canvas=canvas,
+                                sr_dtype=sr_dtype)
+            # scalar checksum forces execution; frames would stream to the
+            # encoder in production
+            return carry + jnp.sum(out["image"]), None
 
         acc, _ = jax.lax.scan(body, 0.0,
                               cams.reshape(-1, GROUP, cams.shape[-1]))

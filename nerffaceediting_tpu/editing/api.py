@@ -158,17 +158,25 @@ def decode_frames(params, ws, cams, norm_planes, denorm_planes,
                   neural_rendering_resolution: Optional[int] = None,
                   coherent: Optional[bool] = None,
                   fused_decoder: bool = True,
+                  canvas: Optional[jax.Array] = None,
                   sr_dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Render MANY cameras against ONE identity's planes as a single fused
     device program — the serving-path orbit renderer (bench.py workload;
     ref gen_videos.py renders the same trajectory frame by frame).
 
-    All F frames' rays flatten into the ray axis of one render (planes are
+    All F frames' rays flatten into the ray axis of ONE render (planes are
     NOT replicated; the windowed kernel tiles stay frame-coherent via
     ray_grid=(F·res, res)), then frames split back for a batched SR pass.
     Removes per-frame dispatch overhead and feeds every stage F× larger
-    batches. cams: (F, 25); ws: (1, num_ws, w_dim). Returns per-frame
-    {image (F,3,512,512), image_raw, image_seg, image_depth}.
+    batches. The fused sampling+decode kernel takes the same flattened
+    shape — its point-axis chunking (2^18 cap) keeps each Pallas program
+    compiler-safe, and crucially this is ONE fused-decode call per program:
+    F *separate* per-frame calls SIGABRT the current libtpu for F ≥ 2
+    with the pull-back merge (llo::CouldLtS32 bisect, runs/hw_r4/,
+    docs/PERF.md r4). cams: (F, 25); ws: (1, num_ws, w_dim);
+    canvas: optional prebuilt window canvas (pass it when calling from a
+    scan body — XLA does not hoist the build out of the scan). Returns
+    per-frame {image (F,3,512,512), image_raw, image_seg, image_depth}.
     """
     from ..models.superresolution import superresolution
     from ..models.triplane import _decoder_fn
@@ -181,31 +189,12 @@ def decode_frames(params, ws, cams, norm_planes, denorm_planes,
     intrinsics = cams[:, 16:25].reshape(-1, 3, 3)
     ray_o, ray_d = sample_rays(cam2world, intrinsics, res)  # (F, R, 3)
     R = ray_o.shape[1]
-    if fused_decoder and jax.default_backend() in ("tpu", "axon"):
-        # Fused sampling+decoder kernel per frame (the TPU backend's layout
-        # math caps one kernel's point axis at 2^18), ONE shared canvas.
-        from ..models.triplane import split_planes  # noqa: F401 (doc link)
-        from ..ops.triplane_kernel import build_plane_canvas
-
-        N_, n_p, C_, H_, W_ = norm_planes.shape
-        hwc = norm_planes.reshape(N_ * n_p, C_, H_, W_).transpose(0, 2, 3, 1)
-        canvas = build_plane_canvas(hwc)
-        per_frame = [
-            render_rays(_decoder_fn(cfg), params["decoder"], norm_planes,
-                        denorm_planes, ray_o[f:f + 1], ray_d[f:f + 1],
-                        cfg.rendering, rng=None, plane_stats=plane_stats,
-                        coherent=coherent, fused_decoder=True, canvas=canvas)
-            for f in range(F)
-        ]
-        feats = jnp.concatenate([o[0] for o in per_frame], axis=0)
-        segs = jnp.concatenate([o[1] for o in per_frame], axis=0)
-        depths = jnp.concatenate([o[2] for o in per_frame], axis=0)
-    else:
-        feats, segs, depths, _ = render_rays(
-            _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
-            ray_o.reshape(1, F * R, 3), ray_d.reshape(1, F * R, 3),
-            cfg.rendering, rng=None, plane_stats=plane_stats,
-            ray_grid=(F * res, res), coherent=coherent)
+    feats, segs, depths, _ = render_rays(
+        _decoder_fn(cfg), params["decoder"], norm_planes, denorm_planes,
+        ray_o.reshape(1, F * R, 3), ray_d.reshape(1, F * R, 3),
+        cfg.rendering, rng=None, plane_stats=plane_stats,
+        ray_grid=(F * res, res), coherent=coherent,
+        fused_decoder=fused_decoder, canvas=canvas)
 
     seg_image = segs.reshape(F, res, res, -1).transpose(0, 3, 1, 2)
     depth_image = depths.reshape(F, res, res, 1).transpose(0, 3, 1, 2)

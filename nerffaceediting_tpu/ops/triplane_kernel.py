@@ -85,6 +85,14 @@ _PATCH = (8, 8, 4)      # (ray-rows, ray-cols, depth) per tile = 256 points
 _RESIDENT_CANVAS = os.environ.get("NFE_RESIDENT_CANVAS", "0") == "1"
 _RESIDENT_FORCE = False
 
+# Sorted-grid serving variant (see triplane_sample_decode): tiles sweep in
+# canvas-block order per plane, so every canvas block is DMA'd at most once
+# per pass instead of up to once per tile — the lever against the streaming
+# kernel's ~40% MXU DMA plateau (docs/PERF.md r2). _SORTED_FORCE lets tests
+# exercise it in interpret mode regardless of the env switch.
+_SORTED_KERNEL = os.environ.get("NFE_SORTED_KERNEL", "0") == "1"
+_SORTED_FORCE = False
+
 
 def _onehot2_t(i0, w1, size, tile_p, dt):
     """Transposed 2-tap one-hot (size, tile_p): (1-w1) at row i0, w1 at
@@ -259,8 +267,19 @@ def _untile_perm(out: jax.Array, M: int,
 def _canvas_geom(H: int, W: int) -> Tuple[int, int]:
     """Number of (x, y) window blocks for a H×W plane. Window starts sit at
     (bx·_SX − _PADL, by·_SY − _PADL); the rightmost block always reaches past
-    the last legal tap index (size+1)."""
-    return max(1, W // _SX), max(1, H // _SY)
+    the last legal tap index (size+1).
+
+    Coverage: the last window must reach tap index size+2 (clipped floors go
+    to size+1, +1 tap beyond), i.e. (nb−1)·stride − _PADL + win > size+2.
+    size//stride blocks guarantee that only while win ≥ 2·stride-ish; the
+    r4 `NFE_WIN_GEOM` hedges with stride == win undershot it and produced a
+    negative canvas pad (runs/hw_r4/benchG.err) — take the max of both so
+    the default geometry (and every committed canvas layout) is unchanged."""
+    def nb(size, stride, win):
+        cover = -(-(size + _PADL + 3 - win) // stride) + 1
+        return max(1, size // stride, cover)
+
+    return nb(W, _SX, _WX), nb(H, _SY, _WY)
 
 
 def _build_canvas(plane_cwh: jax.Array, nbx: int, nby: int) -> jax.Array:
@@ -765,6 +784,53 @@ def _fused_decode_kernel_resident(bidx_ref, pts0_ref, pts1_ref, pts2_ref,
     out_ref[0] = jnp.concatenate([g, rgb], axis=0)
 
 
+def _win_sample_sorted_kernel(bs_ref, perm_ref, pts_ref, canvas_ref, out_ref,
+                              *, C: int, tile_p: int, compute_dtype):
+    """Sorted-grid per-plane windowed sampler.
+
+    Grid (3, nt) sweeps each plane's point tiles in canvas-block order
+    (scalar-prefetched argsort permutation `perm`; `bs` is the matching
+    sorted block index). Consecutive grid steps therefore share their canvas
+    block until the sweep moves to the next one — Mosaic's revisit-skip
+    turns the per-tile 512 KB canvas DMA of the streaming kernel (~40% MXU,
+    DMA-bound, docs/PERF.md r2) into ONE fetch per distinct block per plane.
+    Samples are written back at the tile's original position (the out index
+    map applies `perm`), so downstream consumers see canonical tile order."""
+    _win_body(canvas_ref[0, 0], pts_ref, out_ref, C, tile_p, compute_dtype)
+
+
+def _decode_samples_kernel(s_ref, pts_ref, stats_ref,
+                           w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                           w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                           out_ref, *, C: int, tile_p: int):
+    """Decode epilogue over pre-sampled per-plane features: plane mean,
+    σμ-denormalization remat, and both 2-layer decoder MLPs — one point
+    tile per grid step. Partner of `_win_sample_sorted_kernel` (the sorted
+    sweep makes a fused single-kernel epilogue impossible: the three planes'
+    visits to a tile are not consecutive)."""
+    s = s_ref[...]                          # (3, C, tile_p) f32
+    xn = (s[0] + s[1] + s[2]) * (1.0 / 3.0)
+    acc_d = jnp.zeros((C, tile_p), jnp.float32)
+    for p in range(3):
+        wsum = pts_ref[p, 4, :]
+        mean = stats_ref[p, 0, :][:, None]
+        var = stats_ref[p, 1, :][:, None]
+        acc_d += s[p] * var + mean * wsum[None, :]
+    xd = acc_d * (1.0 / 3.0)
+    hg = jax.nn.softplus(
+        jnp.dot(w0g_ref[...], xn, preferred_element_type=jnp.float32)
+        + b0g_ref[...])
+    g = (jnp.dot(w1g_ref[...], hg, preferred_element_type=jnp.float32)
+         + b1g_ref[...])
+    ha = jax.nn.softplus(
+        jnp.dot(w0a_ref[...], xd, preferred_element_type=jnp.float32)
+        + b0a_ref[...])
+    rgb_lin = (jnp.dot(w1a_ref[...], ha, preferred_element_type=jnp.float32)
+               + b1a_ref[...])
+    rgb = jax.nn.sigmoid(rgb_lin) * (1 + 2 * 0.001) - 0.001
+    out_ref[0] = jnp.concatenate([g, rgb], axis=0)
+
+
 def _effective_decoder(decoder_params, plane_stats, C: int,
                        lr_multiplier: float):
     """Equalized-lr effective decoder weights (models/layers.fully_connected
@@ -906,9 +972,72 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     OUT = 1 + SEG + RGB
 
     resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
+    sorted_mode = _SORTED_FORCE or _SORTED_KERNEL
     full = lambda a: pl.BlockSpec(a.shape, lambda j, b_ref: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     nb = canvas.shape[1]
+
+    def sorted_call(bidx_c, pts_c):
+        """Two-kernel sorted-sweep variant (NFE_SORTED_KERNEL=1): per-plane
+        sampling in canvas-block order (one canvas DMA per distinct block),
+        then the decode epilogue over the (3, C, Mt) samples."""
+        nt_c = pts_c.shape[2] // tile_p
+        Mt_c = pts_c.shape[2]
+        perm = jnp.argsort(bidx_c, axis=1, stable=True).astype(jnp.int32)
+        bs = jnp.take_along_axis(bidx_c, perm, axis=1)
+        sample_kernel = functools.partial(
+            _win_sample_sorted_kernel, C=C, tile_p=tile_p,
+            compute_dtype=jnp.dtype(compute_dtype))
+        sample_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(3, nt_c),
+            in_specs=[
+                pl.BlockSpec((1, 5, tile_p),
+                             lambda p, j, bs_r, pm: (p, 0, pm[p, j]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C * _WX, _WY),
+                             lambda p, j, bs_r, pm: (p, bs_r[p, j], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, C, tile_p),
+                                   lambda p, j, bs_r, pm: (p, 0, pm[p, j]),
+                                   memory_space=pltpu.VMEM),
+        )
+        samples = pl.pallas_call(
+            sample_kernel,
+            grid_spec=sample_spec,
+            out_shape=jax.ShapeDtypeStruct((3, C, Mt_c), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ) if not interpret else None,
+        )(bs, perm, pts_c, canvas)
+
+        dec_kernel = functools.partial(_decode_samples_kernel, C=C,
+                                       tile_p=tile_p)
+        return pl.pallas_call(
+            dec_kernel,
+            grid=(nt_c,),
+            in_specs=[
+                pl.BlockSpec((3, C, tile_p), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 5, tile_p), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(stats.shape, lambda j: (0,) * stats.ndim,
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec(a.shape, lambda j, _n=a.ndim: (0,) * _n,
+                             memory_space=pltpu.VMEM)
+                for a in (w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
+            ],
+            out_specs=pl.BlockSpec((1, OUT, tile_p), lambda j: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, OUT, Mt_c), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ) if not interpret else None,
+        )(samples, pts_c, stats, w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
 
     def fused_call(bidx_c, pts_c):
         nt_c = pts_c.shape[2] // tile_p
@@ -963,14 +1092,15 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     # point axis — every chunk shares the one canvas, so the only cost is a
     # few extra kernel launches inside the program.
     MAX_MT = 1 << 18
+    call = sorted_call if sorted_mode else fused_call
     if Mt <= MAX_MT:
-        out = fused_call(bidx, pts)
+        out = call(bidx, pts)
     else:
         chunk_nt = MAX_MT // tile_p
         outs = []
         for c0 in range(0, nt, chunk_nt):
             c1 = min(c0 + chunk_nt, nt)
-            outs.append(fused_call(
+            outs.append(call(
                 bidx[:, c0:c1], pts[:, :, c0 * tile_p:c1 * tile_p]))
         out = jnp.concatenate(outs, axis=2)
 

@@ -51,27 +51,26 @@ def main():
         cams[:1], cfg), cfg)
     norm, stats = swap_appearance_stats(planes, sty)
 
-    # bench.py's scan program (GROUP frames per body): the unrolled
-    # decode_frames program SIGABRTs this image's compiler (llo::CouldLtS32
-    # in the pipeline emitter) for F >= 2 — the scan form is also the
-    # program the headline bench actually runs.
-    from nerffaceediting_tpu.editing.api import decode, plane_canvas
+    # bench.py's scan program: GROUP frames per body rendered as ONE
+    # flattened decode_frames call (the r4 body — per-frame fused-decode
+    # calls SIGABRT this image's compiler for >=2 per body, runs/hw_r4).
+    from nerffaceediting_tpu.editing.api import plane_canvas
 
-    GROUP = int(os.environ.get("GROUP", "4"))
+    GROUP = int(os.environ.get("GROUP", "1"))
     GROUP = min(GROUP, F)
     assert F % GROUP == 0
+    sr_dtype = (jnp.bfloat16 if os.environ.get("NFE_BENCH_SR_BF16", "1") == "1"
+                else jnp.float32)
 
     def fn_inner(p, w, c, n):
         canvas = plane_canvas(n)  # mirrors bench.py: one build per orbit
 
         def body(carry, cam_group):
-            acc = carry
-            for k in range(GROUP):
-                out = decode(p, w, cam_group[k][None], n, None, cfg,
-                             plane_stats=stats, coherent=True,
-                             fused_decoder=True, canvas=canvas)
-                acc = acc + jnp.sum(out["image"])
-            return acc, None
+            out = decode_frames(p, w, cam_group, n, None, cfg,
+                                plane_stats=stats, coherent=True,
+                                fused_decoder=True, canvas=canvas,
+                                sr_dtype=sr_dtype)
+            return carry + jnp.sum(out["image"]), None
 
         acc, _ = lax.scan(body, 0.0, c.reshape(-1, GROUP, c.shape[-1]))
         return acc

@@ -1,5 +1,6 @@
 """Apps / editing / io integration tests on tiny configs."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -226,6 +227,52 @@ class TestDecodeFrames:
             for k in ("image", "image_raw", "image_seg", "image_depth"):
                 d = float(jnp.max(jnp.abs(single[k][0] - multi[k][i])))
                 assert d < 1e-4, (k, i, d)
+
+    def test_fused_flatten_matches_per_frame(self, monkeypatch):
+        """The FUSED multi-frame path (one flattened triplane_sample_decode
+        call per group — the bench.py scan body) must match per-frame decode.
+        Interpret mode; the backend gate is monkeypatched so run_model takes
+        the fused branch on CPU."""
+        import nerffaceediting_tpu.ops.triplane_kernel as tk
+        import nerffaceediting_tpu.render.renderer as rr
+        from nerffaceediting_tpu.editing.api import (
+            decode, decode_frames, swap_appearance_stats)
+
+        # fused path needs ray_shape compatible with the (8, 8, 4) patch
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, rendering=dataclasses.replace(
+                cfg.rendering, depth_resolution=8,
+                depth_resolution_importance=8))
+        params = triplane.init_generator(jax.random.key(0), cfg)
+        z = jax.random.normal(jax.random.key(1), (1, cfg.z_dim))
+        cams = jnp.concatenate([
+            camera_params(lookat_pose(np.pi / 2 + 0.15 * i, np.pi / 2,
+                                      (0, 0, 0.2), radius=2.7),
+                          fov_to_intrinsics(18.837)[None]) for i in range(2)])
+        ws = triplane.mapping(params, z, cams[:1], cfg)
+        planes = encode(params, ws, cfg)
+        norm, stats = swap_appearance_stats(planes, planes)
+
+        base = [decode(params, ws, cams[i:i + 1], norm, None, cfg,
+                       plane_stats=stats) for i in range(2)]
+
+        orig = tk.triplane_sample_decode
+        monkeypatch.setattr(
+            tk, "triplane_sample_decode",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True,
+                                        "compute_dtype": jnp.float32}))
+        monkeypatch.setattr(rr.jax, "default_backend", lambda: "tpu")
+        try:
+            multi = decode_frames(params, ws, cams, norm, None, cfg,
+                                  plane_stats=stats, fused_decoder=True,
+                                  coherent=True)
+        finally:
+            monkeypatch.undo()
+        for i in range(2):
+            for k in ("image", "image_raw", "image_seg", "image_depth"):
+                d = float(jnp.max(jnp.abs(base[i][k][0] - multi[k][i])))
+                assert np.isfinite(d) and d < 5e-3, (k, i, d)
 
 
 @pytest.mark.slow  # ~2 min of jitted Adam steps on CPU
