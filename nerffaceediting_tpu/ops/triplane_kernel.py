@@ -77,7 +77,13 @@ if os.environ.get("NFE_WIN_GEOM"):
     _WX, _SX, _WY, _SY = (int(v) for v in
                           os.environ["NFE_WIN_GEOM"].split(","))
 _PADL = 8               # left zero-margin of every window
-_PATCH = (8, 8, 4)      # (ray-rows, ray-cols, depth) per tile = 256 points
+# (ray-rows, ray-cols, depth) per tile; the product must equal tile_p (256).
+# NFE_PATCH overrides for hardware A/B — e.g. "8,4,8" trades pixel footprint
+# for depth run length (pairs with NFE_TILE_ORDER=patch). The window-span
+# predicate NaN-poisons (serving) or falls back (training) if a shape's
+# footprint outgrows the windows, so alternates are correctness-safe.
+_PATCH = tuple(int(v) for v in
+               os.environ.get("NFE_PATCH", "8,8,4").split(","))
 
 # Resident-canvas windowed variant (see _windowed_call): opt-in via env until
 # measured faster on hardware; _RESIDENT_FORCE lets tests exercise it in
@@ -90,8 +96,23 @@ _RESIDENT_FORCE = False
 # per pass instead of up to once per tile — the lever against the streaming
 # kernel's ~40% MXU DMA plateau (docs/PERF.md r2). _SORTED_FORCE lets tests
 # exercise it in interpret mode regardless of the env switch.
+# CAVEAT (r4, runs/hw_r4/benchN.err): the dynamic scalar-prefetched OUTPUT
+# index map hangs the current libtpu's pipeline emitter (>15 min compile,
+# killed); keep opt-in until a libtpu where it compiles.
 _SORTED_KERNEL = os.environ.get("NFE_SORTED_KERNEL", "0") == "1"
 _SORTED_FORCE = False
+
+# Tile sweep order for the windowed kernels (NFE_TILE_ORDER):
+#   "depth" — depth-group outermost: consecutive tiles are neighboring
+#             pixel patches at the same depth (r2 default);
+#   "patch" — pixel-patch outermost: consecutive tiles are the SAME patch
+#             at advancing depth. FFHQ rays are mostly z-directed, so the
+#             (x, y) plane-0 window is nearly constant along a patch's
+#             depth sweep — Mosaic's revisit-skip then fetches plane 0's
+#             canvas block ~once per patch instead of ~once per tile
+#             (estimated ~40% fewer canvas fetches overall; static order,
+#             zero compile risk — unlike the sorted variant above).
+_TILE_ORDER = os.environ.get("NFE_TILE_ORDER", "depth")
 
 
 def _onehot2_t(i0, w1, size, tile_p, dt):
@@ -233,10 +254,16 @@ def _tile_perm(a: jax.Array, ray_shape: Optional[Tuple[int, int, int]],
         rh, rw, S = ray_shape
         ph, pw, pd = _PATCH
         a = a.reshape(NP, rh // ph, ph, rw // pw, pw, S // pd, pd)
-        # depth-group OUTERMOST: consecutive tiles are neighboring pixel
-        # patches at the same depth, whose plane windows mostly coincide —
-        # Pallas then skips the canvas-block copy between them.
-        a = a.transpose(0, 5, 1, 3, 2, 4, 6)
+        if _TILE_ORDER == "patch":
+            # pixel-patch OUTERMOST: consecutive tiles march the same patch
+            # through depth — plane 0's window is near-constant per patch
+            # (see _TILE_ORDER note above).
+            a = a.transpose(0, 1, 3, 5, 2, 4, 6)
+        else:
+            # depth-group OUTERMOST: consecutive tiles are neighboring pixel
+            # patches at the same depth, whose plane windows mostly coincide
+            # — Pallas then skips the canvas-block copy between them.
+            a = a.transpose(0, 5, 1, 3, 2, 4, 6)
         return a.reshape(NP, M)
     pad = (-M) % tile_p
     if pad:
@@ -258,8 +285,12 @@ def _untile_perm(out: jax.Array, M: int,
         rh, rw, S = ray_shape
         ph, pw, pd = _PATCH
         o = lax.optimization_barrier(o)  # keep XLA from re-fusing the steps
-        o = o.reshape(NP, S // pd, rh // ph, rw // pw, ph, pw, pd, C)
-        o = o.transpose(0, 2, 4, 3, 5, 1, 6, 7)  # (NP, rh/ph, ph, rw/pw, pw, S/pd, pd, C)
+        if _TILE_ORDER == "patch":
+            o = o.reshape(NP, rh // ph, rw // pw, S // pd, ph, pw, pd, C)
+            o = o.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        else:
+            o = o.reshape(NP, S // pd, rh // ph, rw // pw, ph, pw, pd, C)
+            o = o.transpose(0, 2, 4, 3, 5, 1, 6, 7)  # (NP, rh/ph, ph, rw/pw, pw, S/pd, pd, C)
         return o.reshape(NP, M, C)
     return o[:, :M]
 

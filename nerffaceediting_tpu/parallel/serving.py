@@ -51,7 +51,9 @@ def orbit_sharded(params, ws, cams, norm_planes, denorm_planes, cfg, mesh: Mesh,
     scan_group: frames per lax.scan body on each device (bench.py's GROUP).
     Long per-device orbits MUST set this on TPU — unrolling many fused
     tri-plane kernel calls into one program crashes the Mosaic compiler
-    (docs/PERF.md compiler limits); 4 is the measured sweet spot.
+    (docs/PERF.md compiler limits). 1 is both the measured optimum and the
+    only compile-safe value on the current libtpu (r4 bisect: >=2 frames
+    per body SIGABRTs with the pull-back merge, flattened or not).
     """
     from ..editing.api import decode_frames
 

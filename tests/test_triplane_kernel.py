@@ -337,6 +337,40 @@ class TestSortedKernel:
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_patch_outer_tile_order_exact(self, monkeypatch):
+        """NFE_TILE_ORDER=patch (pixel-patch-outermost sweep) is a pure
+        iteration-order change: windowed sampling AND the fused decode must
+        stay bit-identical to the depth-outer default."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample_decode)
+
+        rng = np.random.default_rng(47)
+        planes, coords, mean, var, rs = self._case(rng)
+        dec = init_disentangled_osg_decoder(jax.random.key(9))
+        kw = dict(ray_shape=rs, tile_p=64,
+                  compute_dtype=jnp.float32, interpret=True)
+        a = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        a2 = sample_from_planes_fused(planes[None].transpose(0, 1, 4, 2, 3),
+                                      coords, box_warp=1.0, ray_shape=rs,
+                                      interpret=True,
+                                      compute_dtype=jnp.float32)
+        monkeypatch.setattr(tk, "_TILE_ORDER", "patch")
+        jax.clear_caches()
+        b = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        b2 = sample_from_planes_fused(planes[None].transpose(0, 1, 4, 2, 3),
+                                      coords, box_warp=1.0, ray_shape=rs,
+                                      interpret=True,
+                                      compute_dtype=jnp.float32)
+        jax.clear_caches()
+        for k in ("sigma", "seg", "rgb"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_sorted_chunked_point_axis(self, monkeypatch):
         """Point-axis chunking (the 2^18 Mosaic cap) must compose with the
         sort: the argsort runs per chunk. Exercised with a tiny synthetic
