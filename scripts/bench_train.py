@@ -109,8 +109,15 @@ def main():
     t0 = time.perf_counter()
     state = ema_step(state, batch_size=batch)
     float(jnp.sum(jax.tree.leaves(state.g_ema)[0]))
-    times["EMA"] = time.perf_counter() - t0
-    print(f"{'EMA':<6} {times['EMA']*1e3:9.1f} ms/step", flush=True)
+    compile_s = time.perf_counter() - t0
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state = ema_step(state, batch_size=batch)
+    float(jnp.sum(jax.tree.leaves(state.g_ema)[0]))
+    times["EMA"] = (time.perf_counter() - t0) / n_iters
+    print(f"{'EMA':<6} {times['EMA']*1e3:9.1f} ms/step "
+          f"(compile {compile_s:.1f}s)", flush=True)
 
     # reference cadence: Gmain+Dmain every step, Greg/4, Dreg/16
     per_step = (times["Gmain"] + times["Dmain"] + times["EMA"]
