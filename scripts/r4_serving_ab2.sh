@@ -19,3 +19,15 @@ run Q NFE_TILE_ORDER=patch
 run R NFE_TILE_ORDER=patch NFE_PATCH=8,4,8
 run S NFE_TILE_ORDER=patch NFE_PATCH=4,8,8
 run T NFE_PATCH=8,4,8
+# resident canvas at sy128 (75 MB operand, below the 96 MB SIGABRT point;
+# geometry coverage fixed this round — benchG.err was a Python pad bug)
+run U NFE_RESIDENT_CANVAS=1 NFE_WIN_GEOM=64,16,128,128
+# small windows (max measured span 33 + stride + 1): halves the one-hot
+# FLOPs; r2 measured small windows SLOWER under depth order (DMA-bound),
+# patch order changes the fetch pattern — re-test both orders
+run V NFE_TILE_ORDER=patch NFE_WIN_GEOM=56,16,64,24
+run W NFE_WIN_GEOM=56,16,64,24
+# scan-overhead microbench rides the same chip slot
+echo "=== scan overhead ==="
+timeout 600 python scripts/bench_scan_overhead.py 2>"$OUT/scan_overhead.err"
+echo "scan rc=$?"
