@@ -825,23 +825,21 @@ def _win_sample_sorted_kernel(bs_ref, perm_ref, pts_ref, canvas_ref, out_ref,
     block until the sweep moves to the next one — Mosaic's revisit-skip
     turns the per-tile 512 KB canvas DMA of the streaming kernel (~40% MXU,
     DMA-bound, docs/PERF.md r2) into ONE fetch per distinct block per plane.
-    Samples are written back at the tile's original position (the out index
-    map applies `perm`), so downstream consumers see canonical tile order."""
+    Samples are written at the SORTED grid position (static out map — a
+    dynamic output map hangs libtpu's pipeline emitter); the decode
+    epilogue un-sorts via dynamic input maps (`_decode_samples_gather_kernel`)."""
     _win_body(canvas_ref[0, 0], pts_ref, out_ref, C, tile_p, compute_dtype)
 
 
-def _decode_samples_kernel(s_ref, pts_ref, stats_ref,
-                           w0g_ref, b0g_ref, w1g_ref, b1g_ref,
-                           w0a_ref, b0a_ref, w1a_ref, b1a_ref,
-                           out_ref, *, C: int, tile_p: int):
-    """Decode epilogue over pre-sampled per-plane features: plane mean,
-    σμ-denormalization remat, and both 2-layer decoder MLPs — one point
-    tile per grid step. Partner of `_win_sample_sorted_kernel` (the sorted
-    sweep makes a fused single-kernel epilogue impossible: the three planes'
-    visits to a tile are not consecutive)."""
-    s = s_ref[...]                          # (3, C, tile_p) f32
+def _decode_from_samples(s, pts_ref, stats_ref,
+                         w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                         w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                         out_ref, C: int):
+    """Shared decode-epilogue math over pre-sampled per-plane features
+    s (3, C, P) f32: plane mean, σμ-denormalization remat, and both
+    2-layer decoder MLPs."""
     xn = (s[0] + s[1] + s[2]) * (1.0 / 3.0)
-    acc_d = jnp.zeros((C, tile_p), jnp.float32)
+    acc_d = jnp.zeros_like(s[0])
     for p in range(3):
         wsum = pts_ref[p, 4, :]
         mean = stats_ref[p, 0, :][:, None]
@@ -860,6 +858,35 @@ def _decode_samples_kernel(s_ref, pts_ref, stats_ref,
                + b1a_ref[...])
     rgb = jax.nn.sigmoid(rgb_lin) * (1 + 2 * 0.001) - 0.001
     out_ref[0] = jnp.concatenate([g, rgb], axis=0)
+
+
+def _decode_samples_kernel(s_ref, pts_ref, stats_ref,
+                           w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                           w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                           out_ref, *, C: int, tile_p: int):
+    """Decode epilogue over pre-sampled per-plane features — one point
+    tile per grid step. Partner of `_win_sample_sorted_kernel` (the sorted
+    sweep makes a fused single-kernel epilogue impossible: the three planes'
+    visits to a tile are not consecutive)."""
+    _decode_from_samples(s_ref[...], pts_ref, stats_ref,
+                         w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                         w0a_ref, b0a_ref, w1a_ref, b1a_ref, out_ref, C)
+
+
+def _decode_samples_gather_kernel(iv_ref, s0_ref, s1_ref, s2_ref,
+                                  pts_ref, stats_ref,
+                                  w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                                  w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                                  out_ref, *, C: int, tile_p: int):
+    """Decode epilogue that UN-SORTS as it reads: each plane's sample tile
+    arrives via a dynamic scalar-prefetched INPUT index map (`iv` = the
+    inverse of that plane's canvas-block argsort), so the sorted sampling
+    kernel can keep a STATIC output index map — the dynamic-OUTPUT variant
+    hangs the current libtpu pipeline emitter >15 min (runs/hw_r4/benchN)."""
+    s = jnp.concatenate([s0_ref[...], s1_ref[...], s2_ref[...]], axis=0)
+    _decode_from_samples(s, pts_ref, stats_ref,
+                         w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                         w0a_ref, b0a_ref, w1a_ref, b1a_ref, out_ref, C)
 
 
 def _effective_decoder(decoder_params, plane_stats, C: int,
@@ -1016,6 +1043,13 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
         Mt_c = pts_c.shape[2]
         perm = jnp.argsort(bidx_c, axis=1, stable=True).astype(jnp.int32)
         bs = jnp.take_along_axis(bidx_c, perm, axis=1)
+        # argsort of a permutation is its inverse: iv[p, t] = sorted
+        # position of canonical tile t. All dynamic index maps below are on
+        # INPUTS only — the sampler writes at the static grid position and
+        # the decode kernel un-sorts via iv as it reads, because a dynamic
+        # OUTPUT index map hangs the current libtpu pipeline emitter
+        # (runs/hw_r4/benchN, >15 min).
+        iv = jnp.argsort(perm, axis=1).astype(jnp.int32)
         sample_kernel = functools.partial(
             _win_sample_sorted_kernel, C=C, tile_p=tile_p,
             compute_dtype=jnp.dtype(compute_dtype))
@@ -1031,7 +1065,7 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, C, tile_p),
-                                   lambda p, j, bs_r, pm: (p, 0, pm[p, j]),
+                                   lambda p, j, bs_r, pm: (p, 0, j),
                                    memory_space=pltpu.VMEM),
         )
         samples = pl.pallas_call(
@@ -1044,31 +1078,41 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
             ) if not interpret else None,
         )(bs, perm, pts_c, canvas)
 
-        dec_kernel = functools.partial(_decode_samples_kernel, C=C,
+        dec_kernel = functools.partial(_decode_samples_gather_kernel, C=C,
                                        tile_p=tile_p)
-        return pl.pallas_call(
-            dec_kernel,
+        dec_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(nt_c,),
             in_specs=[
-                pl.BlockSpec((3, C, tile_p), lambda j: (0, 0, j),
+                pl.BlockSpec((1, C, tile_p),
+                             lambda j, iv_r, p=p: (p, 0, iv_r[p, j]),
+                             memory_space=pltpu.VMEM)
+                for p in range(3)
+            ] + [
+                pl.BlockSpec((3, 5, tile_p), lambda j, iv_r: (0, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 5, tile_p), lambda j: (0, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(stats.shape, lambda j: (0,) * stats.ndim,
+                pl.BlockSpec(stats.shape,
+                             lambda j, iv_r: (0,) * stats.ndim,
                              memory_space=pltpu.VMEM),
             ] + [
-                pl.BlockSpec(a.shape, lambda j, _n=a.ndim: (0,) * _n,
+                pl.BlockSpec(a.shape, lambda j, iv_r, _n=a.ndim: (0,) * _n,
                              memory_space=pltpu.VMEM)
                 for a in (w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
             ],
-            out_specs=pl.BlockSpec((1, OUT, tile_p), lambda j: (0, 0, j),
+            out_specs=pl.BlockSpec((1, OUT, tile_p),
+                                   lambda j, iv_r: (0, 0, j),
                                    memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            dec_kernel,
+            grid_spec=dec_spec,
             out_shape=jax.ShapeDtypeStruct((1, OUT, Mt_c), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ) if not interpret else None,
-        )(samples, pts_c, stats, w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
+        )(iv, samples, samples, samples, pts_c, stats,
+          w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
 
     def fused_call(bidx_c, pts_c):
         nt_c = pts_c.shape[2] // tile_p
@@ -1121,8 +1165,12 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     # The TPU backend's layout math overflows for pallas operands with a
     # minor extent beyond 2^18 (compiler SIGABRT, bisected r2); chunk the
     # point axis — every chunk shares the one canvas, so the only cost is a
-    # few extra kernel launches inside the program.
-    MAX_MT = 1 << 18
+    # few extra kernel launches inside the program. NFE_MAX_MT overrides
+    # the cap for hardware A/B: the r4 group-2 flattened crash
+    # (runs/hw_r4/benchL.err, LoweringEmitter::PrepareOutput) happens with
+    # chunks of EXACTLY 2^18 — if libtpu's windowing proof is strict-<,
+    # a slightly smaller cap unlocks multi-frame bodies.
+    MAX_MT = int(os.environ.get("NFE_MAX_MT", str(1 << 18)))
     call = sorted_call if sorted_mode else fused_call
     if Mt <= MAX_MT:
         out = call(bidx, pts)

@@ -97,6 +97,30 @@ def main():
     out = fn(params, ws, cams, norm)
     jax.block_until_ready(out)
 
+    # MFU for the whole orbit program: XLA's own flop count over measured
+    # wall time, against the v5e peak (197 TFLOP/s bf16 / 98.5 fp32 —
+    # cost_analysis counts a bf16 MAC like an fp32 one, so quote both).
+    try:
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001 — backend may not support it
+        print(f"cost_analysis unavailable: {e}")
+        flops = 0.0
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = fn(params, ws, cams, norm)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    if flops:
+        fl_s = flops / dt
+        print(f"program flops={flops:.3e}  wall={dt * 1e3:.1f} ms "
+              f"({dt * 1e3 / F:.2f} ms/frame)  "
+              f"=> {fl_s / 1e12:.2f} TFLOP/s = "
+              f"{100 * fl_s / 197e12:.1f}% of v5e bf16 peak / "
+              f"{100 * fl_s / 98.5e12:.1f}% of fp32 peak")
+
     trace_dir = "/tmp/jaxtrace_attr"
     shutil.rmtree(trace_dir, ignore_errors=True)
     jax.profiler.start_trace(trace_dir)
