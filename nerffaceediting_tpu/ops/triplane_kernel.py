@@ -71,8 +71,13 @@ DEFAULT_TILE_P = 256    # points per inner MXU tile
 # variants remove the per-tile DMA, so smaller windows may pay there —
 # NFE_WIN_GEOM="WX,SX,WY,SY" overrides for hardware A/B (canvas size scales
 # with (WX/SX)·(WY/SY); keep WY a lane multiple of 128 for layout, or pad).
-_WX, _SX = 64, 16       # x-window edge / stride (plane W axis, MXU rows)
-_WY, _SY = 128, 64      # y-window edge / stride (plane H axis, MXU K dim)
+# Defaults = the r4 sweep7 winner (runs/hw_r4/sweep7.log, variant V:
+# 86.7 vs 83.7 fps): 56/16 x-windows + 64/24 y-windows. The r2 "smaller
+# windows lose" rule flipped once the pull-back merge + bf16 SR made the
+# program less DMA-bound; span headroom stays 2-4x (max span 33 at the
+# bench orbit, scripts/measure_spans.py — limit is win-2 = 54/62).
+_WX, _SX = 56, 16       # x-window edge / stride (plane W axis, MXU rows)
+_WY, _SY = 64, 24       # y-window edge / stride (plane H axis, MXU K dim)
 if os.environ.get("NFE_WIN_GEOM"):
     _WX, _SX, _WY, _SY = (int(v) for v in
                           os.environ["NFE_WIN_GEOM"].split(","))
@@ -104,7 +109,9 @@ _SORTED_FORCE = False
 
 # Tile sweep order for the windowed kernels (NFE_TILE_ORDER):
 #   "depth" — depth-group outermost: consecutive tiles are neighboring
-#             pixel patches at the same depth (r2 default);
+#             pixel patches at the same depth (r2 default; r4 sweep7
+#             measured "patch" +0.3 fps on top of the window shrink,
+#             so patch is the default from r4);
 #   "patch" — pixel-patch outermost: consecutive tiles are the SAME patch
 #             at advancing depth. FFHQ rays are mostly z-directed, so the
 #             (x, y) plane-0 window is nearly constant along a patch's
@@ -112,7 +119,7 @@ _SORTED_FORCE = False
 #             canvas block ~once per patch instead of ~once per tile
 #             (estimated ~40% fewer canvas fetches overall; static order,
 #             zero compile risk — unlike the sorted variant above).
-_TILE_ORDER = os.environ.get("NFE_TILE_ORDER", "depth")
+_TILE_ORDER = os.environ.get("NFE_TILE_ORDER", "patch")
 
 
 def _onehot2_t(i0, w1, size, tile_p, dt):

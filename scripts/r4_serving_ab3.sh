@@ -24,15 +24,19 @@ run X1 NFE_BENCH_GROUP=2 NFE_MAX_MT=196608
 run X2 NFE_BENCH_GROUP=4 NFE_MAX_MT=196608
 run X3 NFE_BENCH_GROUP=2 NFE_MAX_MT=131072
 
-# (b) sorted-v2: on-chip value parity first, then bench
+# (b) sorted-v2: on-chip value parity first, then bench. NOTE: do NOT set
+# NFE_SORTED_KERNEL here — the script toggles tk._SORTED_FORCE itself; the
+# env var would force BOTH sides sorted and make the compare vacuous.
 echo "=== sorted-v2 parity ==="
-NFE_SORTED_KERNEL=1 timeout 900 python scripts/parity_sorted_tpu.py \
+timeout 1200 python scripts/parity_sorted_tpu.py \
   2>"$OUT/parity_sorted2.err"
 echo "parity rc=$?"
 run Y1 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1
 # sorted removes the DMA penalty that made small windows lose in r2;
 # X-shrink keeps the matmul K dim at 128 (WY untouched)
 run Y2 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1 NFE_WIN_GEOM=48,8,128,64
+# sorted at the sweep7-winning streaming geometry (V: 86.65 fps)
+run Y3 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1 NFE_WIN_GEOM=56,16,64,24
 
 # (c) X-only shrink on the streaming kernel (FLOPs -25%, K stays 128)
 run Z1 NFE_BENCH_GROUP=1 NFE_WIN_GEOM=48,8,128,64
