@@ -35,8 +35,9 @@ run Y1 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1
 # sorted removes the DMA penalty that made small windows lose in r2;
 # X-shrink keeps the matmul K dim at 128 (WY untouched)
 run Y2 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1 NFE_WIN_GEOM=48,8,128,64
-# sorted at the sweep7-winning streaming geometry (V: 86.65 fps)
-run Y3 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1 NFE_WIN_GEOM=56,16,64,24
+# sorted at the r2 geometry (bigger blocks = fewer, larger DMAs — the
+# regime the sorted sweep was designed for; default is now 56,16,64,24)
+run Y3 NFE_BENCH_GROUP=1 NFE_SORTED_KERNEL=1 NFE_WIN_GEOM=64,16,128,64
 
 # (c) X-only shrink on the streaming kernel (FLOPs -25%, K stays 128)
 run Z1 NFE_BENCH_GROUP=1 NFE_WIN_GEOM=48,8,128,64
