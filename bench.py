@@ -17,6 +17,12 @@ import json
 import os
 import time
 
+# Persistent XLA compile cache (set before jax init): a cold compile of the
+# default rung is ~6 min through the tunnel (runs/hw_r4/bench_newdefault.*);
+# with the cache a repeat run starts timing in seconds. Harmless if the dir
+# is empty — it just fills.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nfe_jaxcache")
+
 import numpy as np
 import jax
 import jax.numpy as jnp

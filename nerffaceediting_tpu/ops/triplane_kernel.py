@@ -71,12 +71,14 @@ DEFAULT_TILE_P = 256    # points per inner MXU tile
 # variants remove the per-tile DMA, so smaller windows may pay there —
 # NFE_WIN_GEOM="WX,SX,WY,SY" overrides for hardware A/B (canvas size scales
 # with (WX/SX)·(WY/SY); keep WY a lane multiple of 128 for layout, or pad).
-# Defaults = the r4 sweep7 winner (runs/hw_r4/sweep7.log, variant V:
-# 86.7 vs 83.7 fps): 56/16 x-windows + 64/24 y-windows. The r2 "smaller
-# windows lose" rule flipped once the pull-back merge + bf16 SR made the
-# program less DMA-bound; span headroom stays 2-4x (max span 33 at the
-# bench orbit, scripts/measure_spans.py — limit is win-2 = 54/62).
-_WX, _SX = 56, 16       # x-window edge / stride (plane W axis, MXU rows)
+# Defaults = the r4 window sweep winner (runs/hw_r4/wingeom_verify.log,
+# W4: 89.8 fps vs 86.8 at 56/16; W2 48/8+128/64 ties at 89.6): 48/8
+# x-windows + 64/24 y-windows. The r2 "smaller windows lose" rule flipped
+# once the pull-back merge + bf16 SR made the program less DMA-bound.
+# Span headroom: max span 33 at the bench orbit (scripts/measure_spans.py)
+# vs limit win-2 = 46/62; 40/8 violates the predicate (w3.err NaN-poison,
+# the designed loud failure), so 48 is the floor for frontal orbits.
+_WX, _SX = 48, 8        # x-window edge / stride (plane W axis, MXU rows)
 _WY, _SY = 64, 24       # y-window edge / stride (plane H axis, MXU K dim)
 if os.environ.get("NFE_WIN_GEOM"):
     _WX, _SX, _WY, _SY = (int(v) for v in
