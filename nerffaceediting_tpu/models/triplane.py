@@ -21,6 +21,7 @@ used by the histogram loss at loss.py:284).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -176,20 +177,35 @@ def render_planes(params, norm_planes, denorm_planes, c, cfg: GeneratorConfig, *
     B = feats.shape[0]
     seg_image = segs.transpose(0, 2, 1).reshape(B, -1, res, res)
     depth_image = depths.transpose(0, 2, 1).reshape(B, 1, res, res)
-    # NOTE r3: an NHWC (channels_last) SR path exists and is oracle-tested
-    # (ops/modconv.py, tests/test_ops.py::TestChannelsLast) but is NOT wired
-    # here: measured end-to-end it was fps-neutral while inflating XLA
-    # compile times ~7x and destabilizing the Mosaic pipeline emitter in
-    # multi-frame scan programs (llo::CouldLtS32 SIGABRT at GROUP=4).
-    feature_image = feats.transpose(0, 2, 1).reshape(B, -1, res, res)
-    rgb_image = feature_image[:, :3]
-    sr_image = superresolution(
-        params["superresolution"], rgb_image, feature_image, ws_sr,
-        variant=cfg.rendering.superresolution_module,
-        sr_antialias=cfg.rendering.sr_antialias,
-        noise_mode=cfg.rendering.superresolution_noise_mode,
-        rng=rng_sr, dtype=sr_dtype,
-    )
+    # NHWC (channels_last) SR path (ops/modconv.py, oracle-tested in
+    # tests/test_ops.py::TestChannelsLast): the render feature grid is
+    # channel-minor already, so NHWC skips the NCHW relayout on entry and
+    # every in-module interleave copy; only the 3-channel outputs transpose
+    # back. r3 measured it fps-neutral and Mosaic-destabilizing in GROUP=4
+    # multi-frame scan programs — both facts predate the r4 program (group
+    # 1, bf16 SR, pull-back merge), so it is re-A/B-able via NFE_SR_NHWC.
+    if os.environ.get("NFE_SR_NHWC", "0") == "1":
+        feature_image_cl = feats.reshape(B, res, res, -1)
+        rgb_cl = feature_image_cl[..., :3]
+        sr_cl = superresolution(
+            params["superresolution"], rgb_cl, feature_image_cl, ws_sr,
+            variant=cfg.rendering.superresolution_module,
+            sr_antialias=cfg.rendering.sr_antialias,
+            noise_mode=cfg.rendering.superresolution_noise_mode,
+            rng=rng_sr, dtype=sr_dtype, channels_last=True,
+        )
+        sr_image = sr_cl.transpose(0, 3, 1, 2)
+        rgb_image = rgb_cl.transpose(0, 3, 1, 2)
+    else:
+        feature_image = feats.transpose(0, 2, 1).reshape(B, -1, res, res)
+        rgb_image = feature_image[:, :3]
+        sr_image = superresolution(
+            params["superresolution"], rgb_image, feature_image, ws_sr,
+            variant=cfg.rendering.superresolution_module,
+            sr_antialias=cfg.rendering.sr_antialias,
+            noise_mode=cfg.rendering.superresolution_noise_mode,
+            rng=rng_sr, dtype=sr_dtype,
+        )
     return {
         "image": sr_image,
         "image_seg": seg_image,
