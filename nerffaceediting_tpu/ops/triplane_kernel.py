@@ -976,13 +976,21 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
                            tile_p: int = DEFAULT_TILE_P,
                            compute_dtype=jnp.bfloat16,
                            canvas: Optional[jax.Array] = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           return_tiled: bool = False):
     """Fused serving path: planes + points → decoded σ/seg/rgb directly.
 
     planes_hwc: (3, H, W, C) NORMALIZED planes (batch 1); coords (1, M, 3);
     plane_stats: (mean, var) each (1, 3, C); decoder_params: the
     DisentangledOSGDecoder pytree (geo_net/app_net). Returns
     {'sigma': (1, M, 1), 'seg': (1, M, S), 'rgb': (1, M, R)} float32.
+
+    return_tiled: skip the payload untile — return {'sigma': (1, M, 1)
+    (only σ is untiled, for the merge/marcher math), 'tiled': the raw
+    (1, OUT, Mt) kernel output in tile order, 'seg_dim': S}. Pair with
+    `composite_payload_tiled`, which contracts per-sample weights against
+    the tiled layout directly (the (M, OUT) untile permute was ~0.6
+    ms/frame of pure relayout, runs/hw_r4/profile_w4.log).
 
     INFERENCE ONLY — differentiating through this raises (training uses the
     decomposed kernel whose custom VJP is exact)."""
@@ -1192,10 +1200,54 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
                 bidx[:, c0:c1], pts[:, :, c0 * tile_p:c1 * tile_p]))
         out = jnp.concatenate(outs, axis=2)
 
-    dec = _untile_perm(out, M, ray_shape)[0]  # (M, OUT)
     # Loud-fail guard (ADVICE r2): this path is statically windowed — a
     # workload whose tiles outgrow the window poisons the output with NaN
     # instead of silently decoding zeros.
-    dec = dec + jnp.where(jnp.logical_and(ok_x, ok_y), 0.0, jnp.nan)
+    guard = jnp.where(jnp.logical_and(ok_x, ok_y), 0.0, jnp.nan)
+    if return_tiled:
+        sig = _untile_perm(out[:, 0:1, :], M, ray_shape)[0]  # (M, 1)
+        return {"sigma": sig[None] + guard, "tiled": out + guard,
+                "seg_dim": SEG}
+    dec = _untile_perm(out, M, ray_shape)[0]  # (M, OUT)
+    dec = dec + guard
     return {"sigma": dec[None, :, 0:1], "seg": dec[None, :, 1:1 + SEG],
             "rgb": dec[None, :, 1 + SEG:]}
+
+
+def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
+                            ray_shape: Tuple[int, int, int]) -> jax.Array:
+    """Σ_s u[r,s] · payload[r,s,:] over the TILED fused-decode output.
+
+    The composite is linear in the per-sample payload, so the pull-back
+    coefficients (renderer.composite_two_pass) can be permuted INTO tile
+    order (1 channel — cheap) and contracted there, instead of untiling the
+    (M, OUT) payload into ray order first. The contraction itself is a
+    grouped lane reduce: in-tile lanes are (ray-in-patch, depth) pairs, so
+    summing over the depth-minor lane groups and the per-patch depth tiles
+    yields the per-ray composite directly.
+
+    tiled: (1, OUT, Mt) from triplane_sample_decode(return_tiled=True),
+    with Mt == prod(ray_shape) (the serving shapes are never point-padded);
+    u_ray: (1, R, S) coefficients in ray-major order.
+    Returns (1, R, OUT) float32.
+    """
+    _, OUT, Mt = tiled.shape
+    rh, rw, S = ray_shape
+    ph, pw, pd = _PATCH
+    M = rh * rw * S
+    assert Mt == M and u_ray.shape == (1, rh * rw, S), (tiled.shape,
+                                                        u_ray.shape,
+                                                        ray_shape)
+    u_t = _tile_perm(u_ray.reshape(1, M).astype(jnp.float32), ray_shape,
+                     DEFAULT_TILE_P)[0]                   # (Mt,)
+    y = tiled[0] * u_t[None, :]                           # fuses into reduce
+    npatch = (rh // ph) * (rw // pw)
+    nk = S // pd
+    if _TILE_ORDER == "patch":
+        yp = y.reshape(OUT, npatch, nk, ph * pw, pd)
+        o = jnp.sum(yp, axis=(2, 4))                      # (OUT, npatch, ph·pw)
+    else:
+        yp = y.reshape(OUT, nk, npatch, ph * pw, pd)
+        o = jnp.sum(yp, axis=(1, 4))
+    o = o.reshape(OUT, rh // ph, rw // pw, ph, pw)
+    return o.transpose(1, 3, 2, 4, 0).reshape(1, rh * rw, OUT)

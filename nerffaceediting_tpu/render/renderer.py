@@ -246,6 +246,56 @@ def unify_samples(depths1, depths2, *value_pairs, assume_sorted: bool = True):
     return tuple(outs)
 
 
+def _pullback_u(d1, dens1, d2, dens2, *, use_kernel: bool = False):
+    """Merged-marcher weights pulled back to input order (the math core of
+    `composite_two_pass` — see its docstring). d*/dens*: (B, R, S*) sorted
+    depths / raw densities. Returns (u (B, R, S1+S2), wt (B, R, 1))."""
+    S1 = d1.shape[-1]
+    S2 = d2.shape[-1]
+    S = S1 + S2
+    d_all = jnp.concatenate([d1, d2], axis=-1)              # (B, R, S)
+
+    if use_kernel:
+        # VMEM merge+march Pallas kernel (ops/composite_kernel.py): same
+        # ranks/marcher math with rays on lanes — no (B,R,S,S) one-hot in
+        # HBM. Differentiable w.r.t. densities (mirrored backward kernel);
+        # depth grads are zero by design (callers stop-gradient depths).
+        from ..ops.composite_kernel import pullback_weights
+
+        u = pullback_weights(d1, dens1, d2, dens2)
+        return u, jnp.sum(u, axis=-1, keepdims=True)        # Σu = Σw
+
+    # merged rank of every input element (ties put list-1 first)
+    less = d2[..., None, :] < d1[..., :, None]
+    rank1 = jnp.arange(S1) + jnp.sum(less, axis=-1)
+    leq = d1[..., None, :] <= d2[..., :, None]
+    rank2 = jnp.arange(S2) + jnp.sum(leq, axis=-1)
+    ranks = jnp.concatenate([rank1, rank2], axis=-1)        # (B, R, S)
+    out_pos = jnp.arange(S)
+    eq = out_pos[..., :, None] == ranks[..., None, :]       # (B, R, S out, S in)
+
+    # 1-channel merges (compare-select reduces — no payload traffic)
+    s_all = jnp.concatenate([dens1, dens2], axis=-1)
+    m_d = jnp.sum(jnp.where(eq, d_all[..., None, :], 0.0), axis=-1)
+    m_s = jnp.sum(jnp.where(eq, s_all[..., None, :], 0.0), axis=-1)
+
+    # marcher weights in merged space (ref ray_marcher.py:26-45 semantics)
+    deltas = m_d[..., 1:] - m_d[..., :-1]
+    sigma_mid = jax.nn.softplus((m_s[..., :-1] + m_s[..., 1:]) * 0.5 - 1)
+    alpha = 1 - jnp.exp(-sigma_mid * deltas)                # (B, R, S-1)
+    logs = jnp.log(1.0 - alpha + 1e-10)
+    T = jnp.exp(jnp.cumsum(logs, axis=-1) - logs)           # exclusive
+    w = alpha * T                                           # (B, R, S-1)
+    wt = jnp.sum(w, axis=-1, keepdims=True)                 # (B, R, 1)
+
+    # midpoint-accumulation coefficients c = Aᵀw, pulled back to input
+    # order u = Pᵀc (input j contributes 0.5·(w_{r-1}+w_r) at r=rank_j)
+    c = 0.5 * (jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
+               + jnp.pad(w, ((0, 0), (0, 0), (1, 0))))      # (B, R, S)
+    u = jnp.sum(jnp.where(eq, c[..., :, None], 0.0), axis=-2)
+    return u, wt
+
+
 def composite_two_pass(depths1, depths2, colors, densities, segs=None, *,
                        clamp_mode: str = "softplus", white_back: bool = False,
                        use_kernel: bool = False):
@@ -272,49 +322,10 @@ def composite_two_pass(depths1, depths2, colors, densities, segs=None, *,
     d2 = depths2[..., 0]
     S1 = d1.shape[-1]
     S2 = d2.shape[-1]
-    S = S1 + S2
     d_all = jnp.concatenate([d1, d2], axis=-1)              # (B, R, S)
 
-    if use_kernel:
-        # VMEM merge+march Pallas kernel (ops/composite_kernel.py): same
-        # ranks/marcher math with rays on lanes — no (B,R,S,S) one-hot in
-        # HBM. Differentiable w.r.t. densities (mirrored backward kernel);
-        # depth grads are zero by design (callers stop-gradient depths).
-        from ..ops.composite_kernel import pullback_weights
-
-        u = pullback_weights(d1, densities[0][..., 0],
-                             d2, densities[1][..., 0])
-        wt = jnp.sum(u, axis=-1, keepdims=True)             # Σu = Σw
-    else:
-        # merged rank of every input element (ties put list-1 first)
-        less = d2[..., None, :] < d1[..., :, None]
-        rank1 = jnp.arange(S1) + jnp.sum(less, axis=-1)
-        leq = d1[..., None, :] <= d2[..., :, None]
-        rank2 = jnp.arange(S2) + jnp.sum(leq, axis=-1)
-        ranks = jnp.concatenate([rank1, rank2], axis=-1)    # (B, R, S)
-        out_pos = jnp.arange(S)
-        eq = out_pos[..., :, None] == ranks[..., None, :]   # (B, R, S out, S in)
-
-        # 1-channel merges (compare-select reduces — no payload traffic)
-        s_all = jnp.concatenate([densities[0][..., 0], densities[1][..., 0]],
-                                axis=-1)
-        m_d = jnp.sum(jnp.where(eq, d_all[..., None, :], 0.0), axis=-1)
-        m_s = jnp.sum(jnp.where(eq, s_all[..., None, :], 0.0), axis=-1)
-
-        # marcher weights in merged space (ref ray_marcher.py:26-45 semantics)
-        deltas = m_d[..., 1:] - m_d[..., :-1]
-        sigma_mid = jax.nn.softplus((m_s[..., :-1] + m_s[..., 1:]) * 0.5 - 1)
-        alpha = 1 - jnp.exp(-sigma_mid * deltas)            # (B, R, S-1)
-        logs = jnp.log(1.0 - alpha + 1e-10)
-        T = jnp.exp(jnp.cumsum(logs, axis=-1) - logs)       # exclusive
-        w = alpha * T                                       # (B, R, S-1)
-        wt = jnp.sum(w, axis=-1, keepdims=True)             # (B, R, 1)
-
-        # midpoint-accumulation coefficients c = Aᵀw, pulled back to input
-        # order u = Pᵀc (input j contributes 0.5·(w_{r-1}+w_r) at r=rank_j)
-        c = 0.5 * (jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
-                   + jnp.pad(w, ((0, 0), (0, 0), (1, 0))))  # (B, R, S)
-        u = jnp.sum(jnp.where(eq, c[..., :, None], 0.0), axis=-2)
+    u, wt = _pullback_u(d1, densities[0][..., 0], d2, densities[1][..., 0],
+                        use_kernel=use_kernel)
     u1 = u[..., :S1]
     u2 = u[..., S1:]
 
@@ -349,6 +360,7 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
               coherent: Optional[bool] = None,
               canvas: Optional[jax.Array] = None,
               fused_decoder: bool = False,
+              tiled_payload: bool = False,
               ) -> Dict[str, jax.Array]:
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
@@ -376,7 +388,8 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
             return triplane_sample_decode(
                 hwc, coordinates, decoder_params, plane_stats,
                 box_warp=cfg.box_warp, ray_shape=ray_shape,
-                lr_multiplier=cfg.decoder_lr_mul, canvas=canvas)
+                lr_multiplier=cfg.decoder_lr_mul, canvas=canvas,
+                return_tiled=tiled_payload)
         samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp,
                                         ray_shape=ray_shape, coherent=coherent,
                                         canvas=canvas)
@@ -513,10 +526,77 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         segs = None if seg is None else seg.reshape(B, R, S_, -1)
         return colors, densities, segs
 
+    import os as _os
+
+    # Tiled-composite serving path (NFE_TILED_COMPOSITE=1): the fused-decode
+    # payload stays in tile order and the pull-back coefficients are
+    # contracted there (ops.triplane_kernel.composite_payload_tiled) — the
+    # (M, OUT) untile permute never runs. Inference-only; requires the
+    # fused kernel's own gate conditions, mirrored here so a declined gate
+    # falls through to the standard path instead of decoding twice.
+    _tiled_ok = (rng is None and fused_decoder and ray_grid is not None
+                 and plane_stats is not None and norm_planes is not None
+                 and B == 1 and cfg.density_noise == 0
+                 and isinstance(decoder_params, dict)
+                 and "geo_net" in decoder_params
+                 and cfg.depth_resolution_importance > 0
+                 and _kernel_backend_ok()
+                 and _os.environ.get("NFE_MERGE_PULLBACK", "1") == "1"
+                 and _os.environ.get("NFE_TILED_COMPOSITE", "0") == "1")
+    if _tiled_ok:
+        from ..ops.triplane_kernel import composite_payload_tiled
+
+        def eval_tiled(depths):
+            S_ = depths.shape[2]
+            coords = (ray_origins[:, :, None]
+                      + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+            rs = (ray_grid[0], ray_grid[1], S_)
+            out = run_model(decoder_fn, decoder_params, norm_planes,
+                            denorm_planes, coords, cfg, None,
+                            plane_stats=plane_stats, ray_shape=rs,
+                            coherent=coherent, canvas=canvas,
+                            fused_decoder=True, tiled_payload=True)
+            return out, out["sigma"].reshape(B, R, S_, 1), rs
+
+        out_c, densities_c, rs_c = eval_tiled(depths_coarse)
+        if "tiled" in out_c:
+            serve_kernel = (_kernel_backend_ok() and _os.environ.get(
+                "NFE_COMPOSITE_KERNEL", "0") == "1")
+            N_imp_t = cfg.depth_resolution_importance
+            if serve_kernel:
+                from ..ops.composite_kernel import importance_depths
+
+                depths_fine = importance_depths(
+                    depths_coarse[..., 0], densities_c[..., 0],
+                    N_imp_t)[..., None]
+            else:
+                weights = march_weights(densities_c, depths_coarse,
+                                        clamp_mode=cfg.clamp_mode)
+                depths_fine = sample_importance(rngs[2], depths_coarse,
+                                                weights, N_imp_t)
+            out_f, densities_f, rs_f = eval_tiled(depths_fine)
+            u, wt = _pullback_u(depths_coarse[..., 0], densities_c[..., 0],
+                                depths_fine[..., 0], densities_f[..., 0],
+                                use_kernel=serve_kernel)
+            S1 = depths_coarse.shape[2]
+            pay = (composite_payload_tiled(out_c["tiled"], u[..., :S1], rs_c)
+                   + composite_payload_tiled(out_f["tiled"], u[..., S1:],
+                                             rs_f))
+            seg_dim = out_c["seg_dim"]
+            rgb = pay[..., 1 + seg_dim:]
+            seg = pay[..., 1:1 + seg_dim] if with_seg else None
+            d_all = jnp.concatenate([depths_coarse[..., 0],
+                                     depths_fine[..., 0]], axis=-1)
+            depth = jnp.einsum("brs,brs->br", u, d_all)[..., None] / wt
+            depth = jnp.where(jnp.isnan(depth), jnp.inf, depth)
+            depth = jnp.clip(depth, jnp.min(d_all), jnp.max(d_all))
+            if cfg.white_back:
+                rgb = rgb + 1 - wt
+            rgb = rgb * 2 - 1
+            return rgb, seg, depth, wt
+
     colors_c, densities_c, segs_c = eval_at(depths_coarse, rngs[1])
     use_seg = with_seg and segs_c is not None
-
-    import os as _os
     _ck_env = (_kernel_backend_ok()
                and _os.environ.get("NFE_COMPOSITE_KERNEL", "0") == "1")
     _serve_kernels = rng is None and _ck_env

@@ -353,6 +353,48 @@ class TestRenderRays:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
 
+    def test_tiled_composite_matches_fused(self, monkeypatch):
+        """NFE_TILED_COMPOSITE=1 (pull-back weights contracted against the
+        TILED fused-decode output, no payload untile) must match the
+        untiled fused serving path bit-for-bit up to reduce order."""
+        import nerffaceediting_tpu.ops.triplane_kernel as tk
+        import nerffaceediting_tpu.render.renderer as rr
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder, disentangled_osg_decoder)
+
+        cfg = ffhq_rendering_config(depth_resolution=8,
+                                    depth_resolution_importance=8)
+        params = init_disentangled_osg_decoder(jax.random.key(0))
+        planes = jax.random.normal(jax.random.key(1), (1, 3, 32, 64, 64)) * 0.1
+        mean = jnp.mean(planes, axis=(-1, -2))
+        var = jnp.ones_like(mean)
+        rh = rw = 16
+        ys, xs = np.meshgrid(np.linspace(-0.2, 0.2, rh),
+                             np.linspace(-0.2, 0.2, rw), indexing="ij")
+        origins = jnp.asarray(np.stack(
+            [xs, ys, np.full_like(xs, -2.7)], -1
+        ).reshape(1, rh * rw, 3).astype(np.float32))
+        dirs = jnp.zeros((1, rh * rw, 3)).at[..., 2].set(1.0)
+        dec = lambda p, xn, xd: disentangled_osg_decoder(p, xn, xd)
+
+        orig = tk.triplane_sample_decode
+        monkeypatch.setattr(
+            tk, "triplane_sample_decode",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True,
+                                        "compute_dtype": jnp.float32}))
+        monkeypatch.setattr(rr, "_kernel_backend_ok", lambda: True)
+        monkeypatch.setattr(rr.jax, "default_backend", lambda: "tpu")
+        kw = dict(plane_stats=(mean, var), ray_grid=(rh, rw),
+                  fused_decoder=True, coherent=True)
+        fused = render_rays(dec, params, planes, None, origins, dirs, cfg,
+                            **kw)
+        monkeypatch.setenv("NFE_TILED_COMPOSITE", "1")
+        tiled = render_rays(dec, params, planes, None, origins, dirs, cfg,
+                            **kw)
+        for a, b in zip(tiled, fused):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestCompositeTwoPass:
     """composite_two_pass (fused merge+march via weight pull-back) must be
