@@ -41,7 +41,9 @@ V100_BASELINE_FPS = 25.0
 _LADDER_KEYS = (
     "NFE_BENCH_FRAMES", "NFE_BENCH_GROUP", "NFE_BENCH_FUSED",
     "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL",
-    "NFE_WIN_GEOM", "NFE_MERGE_PULLBACK")
+    "NFE_WIN_GEOM", "NFE_MERGE_PULLBACK", "NFE_PATCH", "NFE_TILE_ORDER",
+    "NFE_TILE_P", "NFE_SORTED_KERNEL", "NFE_TILED_COMPOSITE", "NFE_SR_NHWC",
+    "NFE_MAX_MT")
 
 
 def main():

@@ -179,7 +179,13 @@ def project(params, target_image: jax.Array, c: jax.Array, cfg: GeneratorConfig,
             p = dict(params)
             p["synthesis"] = insert_noise(params["synthesis"], noise)
             out = triplane.synthesis(p, ws, c, cfg, noise_mode="const")
-            synth = (jnp.clip(out["image"], -1, 1) + 1) * 127.5
+            # NO clamp before the feature loss (ref projector.py:155 feeds
+            # the raw scaled image) — a clamp saturates to zero gradient
+            # whenever the render leaves [-1,1], which a far-from-target w
+            # (or an early-training G) does for most pixels: measured on
+            # hardware, the clipped loss froze at bit-identical values for
+            # 500 straight steps (runs/hw_r4/inversion_full2.log).
+            synth = (out["image"] + 1) * 127.5
             feats = feature_fn(synth)
             dist = jnp.sum(jnp.square(feats - target_feats))
             return dist + _noise_regularization(noise) * pcfg.regularize_noise_weight
@@ -220,7 +226,10 @@ def pivotal_tuning(params, ws, target_image: jax.Array, c: jax.Array,
     def step_fn(params, opt_state):
         def loss_fn(p):
             out = triplane.synthesis(p, ws, c, cfg, noise_mode="const")
-            img01 = (jnp.clip(out["image"], -1, 1) + 1) / 2
+            # raw image in the loss — ref projector.py:194-197 clamps only
+            # for visualization; a clamp here zeroes every gradient once
+            # the render saturates (see project()).
+            img01 = (out["image"] + 1) / 2
             l1 = jnp.mean(jnp.abs(img01 - target01))
             feats = feature_fn(img01 * 255.0)
             lpips = jnp.sum(jnp.square(feats - target_feats))

@@ -51,7 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 DEFAULT_BLOCK_P = 4096  # points DMA'd per grid cell (full-plane path)
-DEFAULT_TILE_P = 256    # points per inner MXU tile
+# Points per inner MXU tile. NFE_TILE_P overrides for hardware A/B (must
+# equal prod(NFE_PATCH) for render workloads; larger tiles deepen the
+# matmul N dim but widen the per-tile window footprint — the span
+# predicate NaN-poisons/falls back if a geometry stops fitting).
+DEFAULT_TILE_P = int(os.environ.get("NFE_TILE_P", "256"))
 
 # Windowed fast path: points are regrouped into spatially-coherent tiles
 # (8×8 ray patch × 4 depth samples for render workloads, consecutive runs

@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--index", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--network", default=None,
+                    help="orbax network-snapshot dir (e.g. from "
+                         "train_demo.sh); inverts with its g_ema instead of "
+                         "a random-init generator — a random-init G at the "
+                         "full config renders far outside [-1,1] and is not "
+                         "a meaningful inversion subject")
     ap.add_argument("--out", default="debug")
     args = ap.parse_args()
     if args.cpu:
@@ -72,7 +78,14 @@ def main():
     target = jnp.asarray(img_u8, jnp.float32)[None] / 127.5 - 1.0  # (1,3,R,R)
     c = jnp.asarray(label, jnp.float32)[None]                      # (1,25)
 
-    params = triplane.init_generator(jax.random.key(0), cfg)
+    if args.network:
+        from nerffaceediting_tpu.io.checkpoint import load_checkpoint
+
+        snap = load_checkpoint(args.network)
+        params = jax.tree.map(jnp.asarray, snap["g_ema"])
+        print(f"loaded g_ema from {args.network}")
+    else:
+        params = triplane.init_generator(jax.random.key(0), cfg)
     pcfg = ProjectorConfig(num_steps=args.steps,
                            num_steps_pti=args.steps_pti,
                            w_avg_samples=args.w_avg_samples)
