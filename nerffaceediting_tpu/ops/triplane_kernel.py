@@ -113,6 +113,19 @@ _RESIDENT_FORCE = False
 _SORTED_KERNEL = os.environ.get("NFE_SORTED_KERNEL", "0") == "1"
 _SORTED_FORCE = False
 
+# In-kernel point math (NFE_INKERNEL_PTS=1): feed the fused serving kernel
+# the raw box-warp-scaled xyz tile and derive the per-plane projection,
+# floor/frac, bounds masses and window-relative coords INSIDE the kernel
+# body (VPU work that overlaps the canvas DMA the streaming kernel waits
+# on) instead of precomputing the (3, 5, Mt) pts rows with ~20 small HLO
+# ops outside (~1.1 ms/frame of eval traffic at the serving config,
+# runs/hw_r4/profile_w4.log). Outside keeps only the tile permute and a
+# per-tile min/max reduce (floor/clip are monotone, so the window index
+# derived from the tile minimum is bit-identical to the per-point
+# derivation). _INKERNEL_FORCE lets tests exercise it in interpret mode.
+_INKERNEL_PTS = os.environ.get("NFE_INKERNEL_PTS", "0") == "1"
+_INKERNEL_FORCE = False
+
 # Tile sweep order for the windowed kernels (NFE_TILE_ORDER):
 #   "depth" — depth-group outermost: consecutive tiles are neighboring
 #             pixel patches at the same depth (r2 default; r4 sweep7
@@ -828,6 +841,77 @@ def _fused_decode_kernel_resident(bidx_ref, pts0_ref, pts1_ref, pts2_ref,
     out_ref[0] = jnp.concatenate([g, rgb], axis=0)
 
 
+def _fused_decode_kernel_ik(bidx_ref, xyz_ref, c0_ref, c1_ref, c2_ref,
+                            stats_ref,
+                            w0g_ref, b0g_ref, w1g_ref, b1g_ref,
+                            w0a_ref, b0a_ref, w1a_ref, b1a_ref,
+                            out_ref, *, C: int, tile_p: int, compute_dtype,
+                            H: int, W: int, nby: int):
+    """In-kernel-pts fused decode (NFE_INKERNEL_PTS): one point tile × all
+    3 planes, with the per-plane projection / floor / frac / bounds-mass /
+    window-relative math computed in the body from the raw scaled xyz tile
+    (3, tile_p). The window start is rederived from the scalar-prefetched
+    block index (ws = (b ÷ nby, b mod nby) · stride − pad), so no extra
+    operand is needed. Math is a line-for-line transcription of the
+    outside pts pipeline in triplane_sample_decode — same clips, same
+    masses, same zeros-padding semantics."""
+    j = pl.program_id(0)
+    x = xyz_ref[0, :]
+    y = xyz_ref[1, :]
+    z = xyz_ref[2, :]
+    acc_n = jnp.zeros((C, tile_p), jnp.float32)
+    acc_d = jnp.zeros((C, tile_p), jnp.float32)
+    for p, cv_ref in enumerate((c0_ref, c1_ref, c2_ref)):
+        u = (x, x, z)[p]
+        v = (y, z, x)[p]
+        fu = (u + 1.0) * (W * 0.5) - 0.5
+        fv = (v + 1.0) * (H * 0.5) - 0.5
+        flu = jnp.floor(fu)
+        flv = jnp.floor(fv)
+        x0 = jnp.clip(flu, -2, W + 1)
+        y0 = jnp.clip(flv, -2, H + 1)
+        wx1 = fu - flu
+        wy1 = fv - flv
+        ry_mass = ((1.0 - wy1) * ((y0 >= 0) & (y0 < H)).astype(jnp.float32)
+                   + wy1 * ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32))
+        rx_mass = ((1.0 - wx1) * ((x0 >= 0) & (x0 < W)).astype(jnp.float32)
+                   + wx1 * ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32))
+        wsum = ry_mass * rx_mass
+        b = bidx_ref[p, j]
+        wsx = ((b // nby) * _SX - _PADL).astype(jnp.float32)
+        wsy = (lax.rem(b, nby) * _SY - _PADL).astype(jnp.float32)
+        rel_y = y0 - wsy
+        rel_x = x0 - wsx
+        w2 = cv_ref[0, 0]                    # (C·_WX, _WY)
+        WX = w2.shape[0] // C
+        WY = w2.shape[1]
+        ry_t = _onehot2_t(rel_y.astype(jnp.int32), wy1, WY, tile_p,
+                          compute_dtype)
+        rx_t = _onehot2_t(rel_x.astype(jnp.int32), wx1, WX, tile_p,
+                          jnp.float32)
+        t = jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)
+        s = jnp.sum(t.reshape(C, WX, tile_p) * rx_t[None], axis=1)  # (C, P)
+        acc_n += s
+        mean = stats_ref[p, 0, :][:, None]   # (C, 1)
+        var = stats_ref[p, 1, :][:, None]
+        acc_d += s * var + mean * wsum[None, :]
+
+    xn = acc_n * (1.0 / 3.0)
+    xd = acc_d * (1.0 / 3.0)
+    hg = jax.nn.softplus(
+        jnp.dot(w0g_ref[...], xn, preferred_element_type=jnp.float32)
+        + b0g_ref[...])
+    g = (jnp.dot(w1g_ref[...], hg, preferred_element_type=jnp.float32)
+         + b1g_ref[...])
+    ha = jax.nn.softplus(
+        jnp.dot(w0a_ref[...], xd, preferred_element_type=jnp.float32)
+        + b0a_ref[...])
+    rgb_lin = (jnp.dot(w1a_ref[...], ha, preferred_element_type=jnp.float32)
+               + b1a_ref[...])
+    rgb = jax.nn.sigmoid(rgb_lin) * (1 + 2 * 0.001) - 0.001
+    out_ref[0] = jnp.concatenate([g, rgb], axis=0)
+
+
 def _win_sample_sorted_kernel(bs_ref, perm_ref, pts_ref, canvas_ref, out_ref,
                               *, C: int, tile_p: int, compute_dtype):
     """Sorted-grid per-plane windowed sampler.
@@ -1011,35 +1095,71 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     xyz_t = _tile_perm(xyz, ray_shape, tile_p)                # (3, Mt)
     Mt = xyz_t.shape[1]
     nt = Mt // tile_p
-    xt, yt, zt = xyz_t[0], xyz_t[1], xyz_t[2]
-    ut = jnp.stack([xt, xt, zt])                              # (3, Mt)
-    vt = jnp.stack([yt, zt, xt])
-    fut = (ut + 1.0) * (W * 0.5) - 0.5
-    fvt = (vt + 1.0) * (H * 0.5) - 0.5
-    x0t = jnp.clip(jnp.floor(fut), -2, W + 1)
-    y0t = jnp.clip(jnp.floor(fvt), -2, H + 1)
-    wxt = (fut - jnp.floor(fut)).astype(jnp.float32)
-    wyt = (fvt - jnp.floor(fvt)).astype(jnp.float32)
-    ry_mass = ((1.0 - wyt) * ((y0t >= 0) & (y0t < H))
-               + wyt * ((y0t + 1 >= 0) & (y0t + 1 < H)))
-    rx_mass = ((1.0 - wxt) * ((x0t >= 0) & (x0t < W))
-               + wxt * ((x0t + 1 >= 0) & (x0t + 1 < W)))
-    wsum_t = (ry_mass * rx_mass).astype(jnp.float32)          # (3, Mt)
-
     nbx, nby = _canvas_geom(H, W)
+    resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
+    sorted_mode = _SORTED_FORCE or _SORTED_KERNEL
+    inkernel = ((_INKERNEL_FORCE or _INKERNEL_PTS)
+                and not (resident or sorted_mode))
 
-    def window_of(v, stride, nb, win):
-        vt_ = v.reshape(3, nt, tile_p)
-        b = jnp.clip(jnp.floor((jnp.min(vt_, axis=-1) + _PADL) / stride),
-                     0, nb - 1).astype(jnp.int32)
-        ws_ = (b * stride - _PADL).astype(jnp.float32)
-        ok = jnp.all(jnp.max(vt_, axis=-1) - ws_ <= win - 2)
-        return b, (vt_ - ws_[:, :, None]).reshape(3, Mt), ok
+    if inkernel:
+        # Per-tile window indices from the tile min/max of the RAW scaled
+        # coords: floor/clip and the projection affines are monotone, so
+        # clip(floor(f(min u))) == min over the tile of the per-point
+        # derivation — bit-identical block choice, ~20 (3, Mt) HLO ops
+        # cheaper. The per-point rows are rebuilt inside the kernel body
+        # (_fused_decode_kernel_ik).
+        xr = xyz_t.reshape(3, nt, tile_p)
+        mn = jnp.min(xr, axis=-1)                             # (3, nt) xyz
+        mx = jnp.max(xr, axis=-1)
+        umin = jnp.stack([mn[0], mn[0], mn[2]])               # (3, nt)
+        umax = jnp.stack([mx[0], mx[0], mx[2]])
+        vmin = jnp.stack([mn[1], mn[2], mn[0]])
+        vmax = jnp.stack([mx[1], mx[2], mx[0]])
 
-    bx, rel_x, ok_x = window_of(x0t, _SX, nbx, _WX)
-    by, rel_y, ok_y = window_of(y0t, _SY, nby, _WY)
-    bidx = bx * nby + by                                      # (3, nt)
-    pts = jnp.stack([rel_y, rel_x, wyt, wxt, wsum_t], axis=1) # (3, 5, Mt)
+        def window_of_minmax(lo, hi, size, stride, nb_, win):
+            f0 = jnp.clip(jnp.floor((lo + 1.0) * (size * 0.5) - 0.5),
+                          -2, size + 1)
+            f1 = jnp.clip(jnp.floor((hi + 1.0) * (size * 0.5) - 0.5),
+                          -2, size + 1)
+            b = jnp.clip(jnp.floor((f0 + _PADL) / stride),
+                         0, nb_ - 1).astype(jnp.int32)
+            ws_ = (b * stride - _PADL).astype(jnp.float32)
+            ok = jnp.all(f1 - ws_ <= win - 2)
+            return b, ok
+
+        bx, ok_x = window_of_minmax(umin, umax, W, _SX, nbx, _WX)
+        by, ok_y = window_of_minmax(vmin, vmax, H, _SY, nby, _WY)
+        bidx = bx * nby + by                                  # (3, nt)
+        payload = xyz_t                                       # (3, Mt)
+    else:
+        xt, yt, zt = xyz_t[0], xyz_t[1], xyz_t[2]
+        ut = jnp.stack([xt, xt, zt])                          # (3, Mt)
+        vt = jnp.stack([yt, zt, xt])
+        fut = (ut + 1.0) * (W * 0.5) - 0.5
+        fvt = (vt + 1.0) * (H * 0.5) - 0.5
+        x0t = jnp.clip(jnp.floor(fut), -2, W + 1)
+        y0t = jnp.clip(jnp.floor(fvt), -2, H + 1)
+        wxt = (fut - jnp.floor(fut)).astype(jnp.float32)
+        wyt = (fvt - jnp.floor(fvt)).astype(jnp.float32)
+        ry_mass = ((1.0 - wyt) * ((y0t >= 0) & (y0t < H))
+                   + wyt * ((y0t + 1 >= 0) & (y0t + 1 < H)))
+        rx_mass = ((1.0 - wxt) * ((x0t >= 0) & (x0t < W))
+                   + wxt * ((x0t + 1 >= 0) & (x0t + 1 < W)))
+        wsum_t = (ry_mass * rx_mass).astype(jnp.float32)      # (3, Mt)
+
+        def window_of(v, stride, nb, win):
+            vt_ = v.reshape(3, nt, tile_p)
+            b = jnp.clip(jnp.floor((jnp.min(vt_, axis=-1) + _PADL) / stride),
+                         0, nb - 1).astype(jnp.int32)
+            ws_ = (b * stride - _PADL).astype(jnp.float32)
+            ok = jnp.all(jnp.max(vt_, axis=-1) - ws_ <= win - 2)
+            return b, (vt_ - ws_[:, :, None]).reshape(3, Mt), ok
+
+        bx, rel_x, ok_x = window_of(x0t, _SX, nbx, _WX)
+        by, rel_y, ok_y = window_of(y0t, _SY, nby, _WY)
+        bidx = bx * nby + by                                  # (3, nt)
+        payload = jnp.stack([rel_y, rel_x, wyt, wxt, wsum_t],
+                            axis=1)                           # (3, 5, Mt)
 
     if canvas is None:
         canvas = build_plane_canvas(planes_hwc, compute_dtype)
@@ -1050,8 +1170,6 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     RGB = w1a.shape[0]
     OUT = 1 + SEG + RGB
 
-    resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
-    sorted_mode = _SORTED_FORCE or _SORTED_KERNEL
     full = lambda a: pl.BlockSpec(a.shape, lambda j, b_ref: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     nb = canvas.shape[1]
@@ -1135,6 +1253,41 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
         )(iv, samples, samples, samples, pts_c, stats,
           w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
 
+    def fused_call_ik(bidx_c, xyz_c):
+        nt_c = xyz_c.shape[1] // tile_p
+        kernel = functools.partial(
+            _fused_decode_kernel_ik, C=C, tile_p=tile_p,
+            compute_dtype=jnp.dtype(compute_dtype), H=H, W=W, nby=nby)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt_c,),
+            in_specs=[
+                pl.BlockSpec((3, tile_p), lambda j, b: (0, j),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, 1, C * _WX, _WY),
+                             lambda j, b, p=p: (p, b[p, j], 0, 0),
+                             memory_space=pltpu.VMEM)
+                for p in range(3)
+            ] + [
+                full(stats), full(w0g), full(b0g), full(w1g), full(b1g),
+                full(w0a), full(b0a), full(w1a), full(b1a),
+            ],
+            out_specs=pl.BlockSpec((1, OUT, tile_p), lambda j, b: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, OUT, xyz_c.shape[1]),
+                                           jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ) if not interpret else None,
+        )(bidx_c, xyz_c, canvas, canvas, canvas,
+          stats, w0g, b0g, w1g, b1g, w0a, b0a, w1a, b1a)
+
     def fused_call(bidx_c, pts_c):
         nt_c = pts_c.shape[2] // tile_p
         pts_specs = [
@@ -1192,16 +1345,20 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     # chunks of EXACTLY 2^18 — if libtpu's windowing proof is strict-<,
     # a slightly smaller cap unlocks multi-frame bodies.
     MAX_MT = int(os.environ.get("NFE_MAX_MT", str(1 << 18)))
-    call = sorted_call if sorted_mode else fused_call
+    call = (sorted_call if sorted_mode
+            else fused_call_ik if inkernel else fused_call)
+    slice_payload = ((lambda a, l, r: a[:, l:r]) if inkernel
+                     else (lambda a, l, r: a[:, :, l:r]))
     if Mt <= MAX_MT:
-        out = call(bidx, pts)
+        out = call(bidx, payload)
     else:
         chunk_nt = MAX_MT // tile_p
         outs = []
         for c0 in range(0, nt, chunk_nt):
             c1 = min(c0 + chunk_nt, nt)
             outs.append(call(
-                bidx[:, c0:c1], pts[:, :, c0 * tile_p:c1 * tile_p]))
+                bidx[:, c0:c1],
+                slice_payload(payload, c0 * tile_p, c1 * tile_p)))
         out = jnp.concatenate(outs, axis=2)
 
     # Loud-fail guard (ADVICE r2): this path is statically windowed — a

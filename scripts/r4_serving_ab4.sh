@@ -19,3 +19,7 @@ leg T1 NFE_TILED_COMPOSITE=1 NFE_BENCH_FRAMES=128
 leg T2 NFE_TILE_P=512 NFE_PATCH=16,8,4 NFE_BENCH_FRAMES=128
 leg T3 NFE_TILED_COMPOSITE=1 NFE_TILE_P=512 NFE_PATCH=16,8,4 NFE_BENCH_FRAMES=128
 leg T4 NFE_TILED_COMPOSITE=1 NFE_TILE_P=512 NFE_PATCH=16,8,4 NFE_WIN_GEOM=40,8,64,24 NFE_BENCH_FRAMES=128
+# in-kernel point math (the ~1.1 ms/frame of outside coords HLO moves onto
+# the kernel's idle VPU; interpret-parity bit-identical)
+leg K1 NFE_INKERNEL_PTS=1 NFE_BENCH_FRAMES=128
+leg K2 NFE_INKERNEL_PTS=1 NFE_TILED_COMPOSITE=1 NFE_BENCH_FRAMES=128

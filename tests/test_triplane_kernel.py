@@ -337,6 +337,64 @@ class TestSortedKernel:
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_inkernel_pts_matches_fused(self, monkeypatch):
+        """NFE_INKERNEL_PTS rebuilds the projection/floor/frac/mass rows
+        inside the kernel body from the raw xyz tile; its decode must be
+        bit-identical to the streaming fused path (same f32 ops, same
+        order), including the per-tile window choice derived from the tile
+        min instead of the per-point floors."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample_decode)
+
+        rng = np.random.default_rng(47)
+        planes, coords, mean, var, rs = self._case(rng)
+        dec = init_disentangled_osg_decoder(jax.random.key(5))
+        kw = dict(ray_shape=rs, tile_p=64,
+                  compute_dtype=jnp.float32, interpret=True)
+        a = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        a_tiled = triplane_sample_decode(planes, coords, dec, (mean, var),
+                                         return_tiled=True, **kw)
+        monkeypatch.setattr(tk, "_INKERNEL_FORCE", True)
+        jax.clear_caches()
+        b = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        b_tiled = triplane_sample_decode(planes, coords, dec, (mean, var),
+                                         return_tiled=True, **kw)
+        jax.clear_caches()
+        for k in ("sigma", "seg", "rgb"):
+            assert np.all(np.isfinite(np.asarray(b[k]))), k
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        np.testing.assert_array_equal(np.asarray(a_tiled["tiled"]),
+                                      np.asarray(b_tiled["tiled"]))
+
+    def test_inkernel_pts_chunked_and_oob(self, monkeypatch):
+        """The ik variant under point-axis chunking (NFE_MAX_MT) and with
+        out-of-plane coords (zeros-padding semantics) matches the default."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample_decode)
+
+        rng = np.random.default_rng(48)
+        planes, coords, mean, var, rs = self._case(rng)
+        # push a patch of rays outside the plane: OOB taps must still
+        # contribute exactly zero mass in both derivations
+        coords = coords.at[0, :256].set(coords[0, :256] * 1.6)
+        dec = init_disentangled_osg_decoder(jax.random.key(5))
+        kw = dict(ray_shape=rs, tile_p=64,
+                  compute_dtype=jnp.float32, interpret=True)
+        a = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        monkeypatch.setattr(tk, "_INKERNEL_FORCE", True)
+        monkeypatch.setenv("NFE_MAX_MT", "256")
+        jax.clear_caches()
+        b = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        jax.clear_caches()
+        for k in ("sigma", "seg", "rgb"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
     def test_patch_outer_tile_order_exact(self, monkeypatch):
         """NFE_TILE_ORDER=patch (pixel-patch-outermost sweep) is a pure
         iteration-order change: windowed sampling AND the fused decode must
