@@ -150,14 +150,15 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
         do_greg = g_int > 0 and step_idx % g_int == 0
         do_dreg = d_int > 0 and step_idx % d_int == 0
         # Schedule-aware compile bucketing (VERDICT r1 weak #6): cur_nimg is
-        # jit-static, but the phase programs only depend on it through
-        # (blur_sigma, swapping_prob, neural_rendering_resolution). Quantize
-        # that triple and reuse the first nimg that produced it — recompiles
-        # happen only when a quantized schedule value changes, and stop
-        # entirely once the fades finish (vs every 4-kimg tick before).
-        key = (round(loss_cfg.blur_sigma(cur_nimg), 1),
-               None if loss_cfg.swapping_prob(cur_nimg) is None
-               else round(loss_cfg.swapping_prob(cur_nimg), 2),
+        # jit-static, but blur_sigma and swapping_prob now enter the phases
+        # as TRACED values computed from state.cur_nimg (step._blur_sigma_arg
+        # / _swap_prob_arg — exact per-step schedules like the reference,
+        # ref loss.py:419). The program therefore only changes when blur
+        # turns off, gpc-swap toggles None, or the render resolution steps —
+        # the r4 on-chip demo measured the old 0.1-quantized sigma key
+        # recompiling all four phases every 25-step tick.
+        key = (loss_cfg.blur_sigma(cur_nimg) > 0,
+               loss_cfg.swapping_prob(cur_nimg) is None,
                loss_cfg.neural_rendering_resolution(cur_nimg))
         nimg_bucket = schedule_buckets.setdefault(key, cur_nimg)
 

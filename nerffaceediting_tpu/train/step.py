@@ -103,6 +103,36 @@ def ema_beta(batch_size: int, cur_nimg, ema_kimg: float, ema_rampup: Optional[fl
 _STATIC = ("g_cfg", "d_cfg", "loss_cfg", "opt_cfg", "cur_nimg_static", "microbatch")
 
 
+def _blur_sigma_arg(loss_cfg, cur_nimg_static: int, cur_nimg):
+    """Blur sigma to hand the phase losses: static 0.0 once the fade has
+    ended (the schedule bucket key only distinguishes blur on/off), else the
+    EXACT traced sigma at the live step counter. The reference recomputes
+    sigma from cur_nimg every step (ref loss.py:419); tracing it keeps that
+    exactness with ONE compiled program for the whole fade, where the
+    0.1-quantized static bucket recompiled all four phases every 200 imgs at
+    blur_fade_kimg=20 (measured minutes per 25-step tick on-chip, r4)."""
+    if loss_cfg.blur_sigma(cur_nimg_static) <= 0:
+        return 0.0
+    nimg = jnp.asarray(cur_nimg, jnp.float32)
+    return (jnp.maximum(1.0 - nimg / (loss_cfg.blur_fade_kimg * 1e3), 0.0)
+            * loss_cfg.blur_init_sigma)
+
+
+def _swap_prob_arg(loss_cfg, cur_nimg_static: int, cur_nimg):
+    """Traced gen-pose-conditioning swap probability (same rationale as
+    _blur_sigma_arg: the gpc fade crosses a 0.01 quantization boundary every
+    20 kimg — ~50 avoidable recompiles over the reference's 25,000-kimg
+    schedule). None (gpc off) keeps the swap-free program."""
+    if loss_cfg.swapping_prob(cur_nimg_static) is None:
+        return None
+    nimg = jnp.asarray(cur_nimg, jnp.float32)
+    if loss_cfg.gpc_reg_fade_kimg > 0:
+        alpha = jnp.minimum(nimg / (loss_cfg.gpc_reg_fade_kimg * 1e3), 1.0)
+    else:
+        alpha = 1.0
+    return (1.0 - alpha) * 1.0 + alpha * loss_cfg.gpc_reg_prob
+
+
 def _microbatched_grads(grad_fn, params, batch_arrays, rng, n_micro: int):
     """Gradient accumulation over micro-batches (the reference's `batch_gpu`
     splitting, ref training_loop.py:314-334): lax.scan over micro-slices,
@@ -176,6 +206,8 @@ def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     if has_parser:
         from ..models.bisenet import bisenet_apply
         face_parser = lambda img: bisenet_apply(face_parser_params, img)
+    blur_sigma = _blur_sigma_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
+    swapping_prob = _swap_prob_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
 
     def grad_fn(g_params, r, z_, c_):
         def loss_fn(p):
@@ -183,7 +215,7 @@ def gmain_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
             return loss_mod.g_main_loss(
                 p, state.d_params, z_, c_, r, g_cfg=g_cfg, d_cfg=d_cfg,
                 cfg=loss_cfg, cur_nimg=cur_nimg_static, face_parser=face_parser,
-                ada_p=ada_p)
+                ada_p=ada_p, blur_sigma=blur_sigma, swapping_prob=swapping_prob)
         return jax.value_and_grad(loss_fn, has_aux=True)(g_params)
 
     grads, stats = _microbatched_grads(grad_fn, state.g_params, (z, gen_c), rng, microbatch)
@@ -211,6 +243,8 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     gradient. microbatch=1 keeps the reference-exact path."""
     rng_hist, rng_dens = jax.random.split(rng)
     stats: Dict = {}
+    blur_sigma = _blur_sigma_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
+    swapping_prob = _swap_prob_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
 
     if microbatch == 1:
         def hist_fn(g_params):
@@ -218,7 +252,8 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
             return loss_mod.g_reg_loss(
                 g_params, state.d_params, z, gen_c, rng_hist, g_cfg=g_cfg,
                 d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static,
-                include_density=False, ada_p=ada_p)
+                include_density=False, ada_p=ada_p, blur_sigma=blur_sigma,
+                swapping_prob=swapping_prob)
 
         (_, s), grads = jax.value_and_grad(hist_fn, has_aux=True)(state.g_params)
         stats.update(s)
@@ -238,7 +273,8 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
                     p, state.d_params, z_cat, c_cat, r, g_cfg=g_cfg, d_cfg=d_cfg,
                     cfg=loss_cfg, cur_nimg=cur_nimg_static,
                     include_density=False, ada_p=ada_p,
-                    adv_skip_first=True)
+                    adv_skip_first=True, blur_sigma=blur_sigma,
+                    swapping_prob=swapping_prob)
             return jax.value_and_grad(loss_fn, has_aux=True)(g_params)
 
         grads, s = _microbatched_grads(grad_fn, state.g_params, (z, gen_c),
@@ -248,7 +284,8 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
     if g_cfg.rendering.density_reg > 0:
         def dens_fn(g_params):
             return loss_mod.density_regularization(
-                g_params, z, gen_c, rng_dens, g_cfg, loss_cfg, cur_nimg_static)
+                g_params, z, gen_c, rng_dens, g_cfg, loss_cfg, cur_nimg_static,
+                swapping_prob=swapping_prob)
 
         dens_loss, dens_grads = jax.value_and_grad(dens_fn)(state.g_params)
         stats["Loss/G/density_reg"] = dens_loss
@@ -269,13 +306,16 @@ def greg_step(state: TrainState, z, gen_c, rng, *, g_cfg, d_cfg, loss_cfg,
 def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
                d_cfg, loss_cfg, opt_cfg, cur_nimg_static: int = 0,
                microbatch: int = 1, ada_p=None) -> Tuple[TrainState, Dict]:
+    blur_sigma = _blur_sigma_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
+    swapping_prob = _swap_prob_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
+
     def grad_fn(d_params, r, real_, rc_, z_, c_):
         def loss_fn(p):
           with jax.named_scope("Dmain_forward"):
             return loss_mod.d_main_loss(
                 p, state.g_params, z_, c_, real_, rc_, r,
                 g_cfg=g_cfg, d_cfg=d_cfg, cfg=loss_cfg, cur_nimg=cur_nimg_static,
-                ada_p=ada_p)
+                ada_p=ada_p, blur_sigma=blur_sigma, swapping_prob=swapping_prob)
         return jax.value_and_grad(loss_fn, has_aux=True)(d_params)
 
     grads, stats = _microbatched_grads(
@@ -289,8 +329,7 @@ def dmain_step(state: TrainState, real_img, real_c, z, gen_c, rng, *, g_cfg,
     from ..models.stylegan2 import mapping_update_w_avg
 
     rng_swap = jax.random.fold_in(rng, 17)
-    c_cond = loss_mod.swap_conditioning(rng_swap, gen_c,
-                                        loss_cfg.swapping_prob(cur_nimg_static))
+    c_cond = loss_mod.swap_conditioning(rng_swap, gen_c, swapping_prob)
     ws = triplane_mod.mapping(state.g_params, z, c_cond, g_cfg)
     g_params = dict(state.g_params)
     g_params["mapping"] = mapping_update_w_avg(
@@ -303,12 +342,14 @@ def dreg_step(state: TrainState, real_img, real_c, rng, *, d_cfg, loss_cfg,
               opt_cfg, cur_nimg_static: int = 0,
               g_cfg=None, has_parser=False, microbatch: int = 1,
               ada_p=None) -> Tuple[TrainState, Dict]:
+    blur_sigma = _blur_sigma_arg(loss_cfg, cur_nimg_static, state.cur_nimg)
+
     def grad_fn(d_params, r, real_, rc_):
         def loss_fn(p):
           with jax.named_scope("Dr1_forward"):
             return loss_mod.d_reg_loss(
                 p, real_, rc_, r, d_cfg=d_cfg, cfg=loss_cfg,
-                cur_nimg=cur_nimg_static, ada_p=ada_p)
+                cur_nimg=cur_nimg_static, ada_p=ada_p, blur_sigma=blur_sigma)
         return jax.value_and_grad(loss_fn, has_aux=True)(d_params)
 
     grads, stats = _microbatched_grads(

@@ -257,6 +257,64 @@ class TestStyleMixing:
         assert np.abs(ws_mixed[:, -1] - ws_plain[:, -1]).max() > 1e-6
 
 
+class TestTracedSchedules:
+    """blur_sigma / swapping_prob enter the phases as TRACED values (the
+    reference recomputes them from the live step counter every call, ref
+    loss.py:419) — one compiled program covers the whole fade instead of a
+    recompile per 0.1-quantized sigma bucket (measured minutes per 25-step
+    tick on-chip, r4)."""
+
+    def test_gaussian_blur_traced_matches_static(self):
+        from nerffaceediting_tpu.train.loss import gaussian_blur
+
+        img = jnp.asarray(np.random.RandomState(0).randn(2, 3, 16, 16),
+                          jnp.float32)
+        for sig in (0.2, 0.5, 1.7, 4.0, 10.0):
+            static = gaussian_blur(img, sig)
+            traced = gaussian_blur(img, jnp.asarray(sig), max_sigma=10.0)
+            np.testing.assert_allclose(np.asarray(traced), np.asarray(static),
+                                       atol=2e-6)
+        # σ = 0 → exact identity, like the static blur_size <= 0 early-out
+        np.testing.assert_array_equal(
+            np.asarray(gaussian_blur(img, jnp.asarray(0.0), max_sigma=10.0)),
+            np.asarray(img))
+
+    def test_schedule_args_track_live_nimg(self):
+        from nerffaceediting_tpu.train.step import _blur_sigma_arg, _swap_prob_arg
+
+        cfg = LossConfig(blur_init_sigma=10.0, blur_fade_kimg=20.0,
+                         gpc_reg_prob=0.5, gpc_reg_fade_kimg=1000.0)
+        # during the fade the traced value follows the LIVE counter, not the
+        # (frozen-at-0) bucket representative the static path would bake
+        v = _blur_sigma_arg(cfg, 0, jnp.asarray(3456, jnp.int32))
+        assert isinstance(v, jax.Array)
+        assert np.isclose(float(v), cfg.blur_sigma(3456), atol=1e-5)
+        # fade over → static 0.0 so the blur-free program compiles
+        assert _blur_sigma_arg(cfg, 20_000, jnp.asarray(20_000)) == 0.0
+        s = _swap_prob_arg(cfg, 0, jnp.asarray(500_000, jnp.int32))
+        assert np.isclose(float(s), cfg.swapping_prob(500_000), atol=1e-6)
+        assert _swap_prob_arg(LossConfig(gpc_reg_prob=None), 0,
+                              jnp.asarray(5)) is None
+
+    def test_one_program_across_fade(self):
+        from nerffaceediting_tpu.train.loss import gaussian_blur
+
+        img = jnp.asarray(np.random.RandomState(1).randn(1, 3, 8, 8),
+                          jnp.float32)
+
+        @jax.jit
+        def f(x, sigma):
+            return gaussian_blur(x, sigma, max_sigma=10.0)
+
+        f(img, jnp.float32(9.9)).block_until_ready()
+        n0 = f._cache_size()
+        out_a = f(img, jnp.float32(5.3))
+        out_b = f(img, jnp.float32(0.7))
+        assert f._cache_size() == n0  # sigma is data, not a compile key
+        # and the outputs actually differ — the sigma isn't baked
+        assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-4
+
+
 class TestAmp:
     """bf16 SR/D mixed precision (LossConfig.amp — the reference's
     num_fp16_res scheme, ref train.py:384-387): same losses within bf16
