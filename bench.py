@@ -58,7 +58,7 @@ def main():
     # (VERDICT r3 weak #5).
     pinned = any(k in os.environ for k in _LADDER_KEYS)
     ladder = [("pinned", {})] if pinned else [
-        ("default", {}),                   # committed fastest (86.6 fps r4)
+        ("default", {}),                   # committed fastest (92.7 fps r4)
         # known-compiling alternates (r4 LLO-crash matrix + sweep,
         # runs/hw_r4): fp32 SR next, then the r2-style merge at group 2,
         # then the decomposed kernel as the most conservative rung.

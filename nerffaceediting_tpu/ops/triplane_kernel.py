@@ -113,17 +113,19 @@ _RESIDENT_FORCE = False
 _SORTED_KERNEL = os.environ.get("NFE_SORTED_KERNEL", "0") == "1"
 _SORTED_FORCE = False
 
-# In-kernel point math (NFE_INKERNEL_PTS=1): feed the fused serving kernel
-# the raw box-warp-scaled xyz tile and derive the per-plane projection,
-# floor/frac, bounds masses and window-relative coords INSIDE the kernel
-# body (VPU work that overlaps the canvas DMA the streaming kernel waits
-# on) instead of precomputing the (3, 5, Mt) pts rows with ~20 small HLO
-# ops outside (~1.1 ms/frame of eval traffic at the serving config,
-# runs/hw_r4/profile_w4.log). Outside keeps only the tile permute and a
-# per-tile min/max reduce (floor/clip are monotone, so the window index
-# derived from the tile minimum is bit-identical to the per-point
-# derivation). _INKERNEL_FORCE lets tests exercise it in interpret mode.
-_INKERNEL_PTS = os.environ.get("NFE_INKERNEL_PTS", "0") == "1"
+# In-kernel point math (NFE_INKERNEL_PTS, default ON): feed the fused
+# serving kernel the raw box-warp-scaled xyz tile and derive the per-plane
+# projection, floor/frac, bounds masses and window-relative coords INSIDE
+# the kernel body (VPU work that overlaps the canvas DMA the streaming
+# kernel waits on) instead of precomputing the (3, 5, Mt) pts rows with
+# ~20 small HLO ops outside (~1.1 ms/frame of eval traffic at the serving
+# config, runs/hw_r4/profile_w4.log). Outside keeps only the tile permute
+# and a per-tile min/max reduce (floor/clip are monotone, so the window
+# index derived from the tile minimum is bit-identical to the per-point
+# derivation). Measured on-chip: 92.7 vs 89.9 fps at the shipping config
+# (runs/hw_r4/ab5.log K1) — promoted to default.
+# _INKERNEL_FORCE lets tests exercise it in interpret mode.
+_INKERNEL_PTS = os.environ.get("NFE_INKERNEL_PTS", "1") == "1"
 _INKERNEL_FORCE = False
 
 # Tile sweep order for the windowed kernels (NFE_TILE_ORDER):
