@@ -188,6 +188,18 @@ def _run(variant: str = "pinned", fallbacks=None):
                               cams.reshape(-1, GROUP, cams.shape[-1]))
         return acc
 
+    if os.environ.get("NFE_BENCH_COMPILE_ONLY", "0") == "1":
+        # Lower + compile without claiming the chip (remote compile service)
+        # — separates "compile hangs/slow" from "runs slow", and can run
+        # while another process owns the device (ab4 T1 triage).
+        t0 = time.perf_counter()
+        edited_orbit.lower(params, planes_src, planes_sty, ws, cams).compile()
+        print(json.dumps({"metric": "compile_only_wall", "unit": "s",
+                          "value": round(time.perf_counter() - t0, 1),
+                          "vs_baseline": 0.0, "variant": variant,
+                          "fallbacks": fallbacks or []}))
+        return
+
     acc0 = float(edited_orbit(params, planes_src, planes_sty, ws, cams))  # compile
     if not np.isfinite(acc0):
         # statically-coherent kernel poisons with NaN when a tile violates

@@ -113,6 +113,19 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
     elif tcfg.aug != "noaug":
         raise ValueError(f"unknown aug mode {tcfg.aug!r}")
     ada_sign_acc: list = []
+    pending_stats: list = []  # device stat dicts awaiting one batched fetch
+
+    def _drain_stats() -> None:
+        """Fetch all pending per-step stats in ONE device_get and feed the
+        collector/ADA accumulator (see the dispatch-ahead note at the
+        append site)."""
+        if not pending_stats:
+            return
+        for s in jax.device_get(pending_stats):
+            collector.update({k: float(v) for k, v in s.items()})
+            if ada_controller is not None and "Loss/signs/real" in s:
+                ada_sign_acc.append(float(s["Loss/signs/real"]))
+        pending_stats.clear()
 
     # Fixed visualization grid (ref training_loop.py:280-295 exports reals +
     # per-snapshot fakes; here z is fixed and c comes from the first batch).
@@ -172,24 +185,30 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
                 cur_nimg_static=nimg_bucket, has_parser=has_parser,
                 face_parser_params=face_parser_params, ada_p=ada_p,
             )
-        collector.update({k: float(v) for k, v in stats.items()})
+        # Deferred stats drain: fetching each scalar with float() here costs
+        # one ~35 ms tunnel round-trip PER KEY PER STEP on the remote-chip
+        # backend (~12 keys ≈ 0.4 s/step) and blocks dispatch-ahead. Keep
+        # the device arrays and fetch them in ONE jax.device_get at the
+        # next ADA/tick boundary instead.
+        pending_stats.append(stats)
         cur_nimg += tcfg.batch_size
         step_idx += 1
 
         # ADA heuristic (ref training_loop.py:371-375): adjust p from the
         # mean sign of D's real logits every ada_interval batches.
         if ada_controller is not None:
-            if "Loss/signs/real" in stats:
-                ada_sign_acc.append(float(stats["Loss/signs/real"]))
-            if step_idx % tcfg.ada_interval == 0 and ada_sign_acc:
-                ada_p_val = ada_controller.update(
-                    float(np.mean(ada_sign_acc)),
-                    tcfg.batch_size * tcfg.ada_interval)
-                ada_sign_acc.clear()
-                collector.update({"Progress/augment": ada_p_val})
+            if step_idx % tcfg.ada_interval == 0:
+                _drain_stats()
+                if ada_sign_acc:
+                    ada_p_val = ada_controller.update(
+                        float(np.mean(ada_sign_acc)),
+                        tcfg.batch_size * tcfg.ada_interval)
+                    ada_sign_acc.clear()
+                    collector.update({"Progress/augment": ada_p_val})
 
         # Tick (ref training_loop.py:377-399).
         if cur_nimg - tick_start_nimg >= max(int(tcfg.kimg_per_tick * 1000), 1):
+            _drain_stats()
             now = time.time()
             sec_per_kimg = (now - tick_start_time) / max(
                 (cur_nimg - tick_start_nimg) / 1e3, 1e-8)
@@ -227,6 +246,7 @@ def training_loop(g_cfg: GeneratorConfig, d_cfg: DiscriminatorConfig,
             if abort_fn is not None and abort_fn():
                 break
 
+    _drain_stats()
     logger.close()
     return state
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 def main():
     want = sys.argv[1:]
     stages = {"fused1", "composite", "marchw", "windowed",
-              "scan1", "scan2", "scan4", "scan1nh", "scan2nh", "scan4nh"}
+              "scan1", "scan2", "scan4", "scan1nh", "scan2nh", "scan4nh",
+              "tiled1", "tiledscan"}
     unknown = [w for w in want if w not in stages]
     if unknown:
         sys.exit(f"unknown stage(s) {unknown}; valid: {sorted(stages)}")
@@ -114,6 +115,24 @@ def main():
         check(f"scan{G}", fn, norm, stats, cams)
         fn, cams = make_scan(G, hoist=False)
         check(f"scan{G}nh", fn, norm, stats, cams)
+
+    # --- tiled-composite serving path (NFE_TILED_COMPOSITE=1): the ab4 T1
+    # bench leg exceeded its 20-min compile timeout at f128 — compile-only
+    # repro to separate "hangs the pipeline emitter" from "slow but finite".
+    if {"tiled1", "tiledscan"} & set(want or stages):
+        import time as _time
+
+        os.environ["NFE_TILED_COMPOSITE"] = "1"
+        for name, fn_, args_ in (
+                ("tiled1", one_frame, (norm, stats, cam)),
+                ("tiledscan", *(lambda p: (p[0], (norm, stats, p[1])))(
+                    make_scan(1, hoist=True)))):
+            if want and name not in want:
+                continue
+            t0 = _time.time()
+            check(name, fn_, *args_)
+            print(f"{name} compile wall: {_time.time() - t0:.0f}s", flush=True)
+        os.environ.pop("NFE_TILED_COMPOSITE", None)
 
 
 if __name__ == "__main__":
