@@ -25,6 +25,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -33,6 +34,15 @@ from jax import lax
 
 from .precision import get_precision
 from .upfirdn import upfirdn2d, _parse_padding, _get_filter_size
+
+# Phase-major fused subpixel conv (NFE_FUSED_PHASE): run the four parity
+# convolutions of _up2_subpixel_conv as ONE conv with 4·O output channels by
+# embedding each phase kernel at a per-phase tap offset inside a common
+# window. The MXU then emits the phase-concatenated tensor directly — the
+# channel concat (HLO-profiled as full-size pads, ~0.3 ms/frame at the
+# serving config) disappears. Exact: the offset embedding only shifts which
+# padding zeros each tap reads.
+_FUSED_PHASE = os.environ.get("NFE_FUSED_PHASE", "0") == "1"
 
 
 def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True,
@@ -112,49 +122,97 @@ def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
     qy = -(-Ly // 2)
     qx = -(-Lx // 2)
 
-    phases = []
+    # Per-phase kernel slices + left-offset geometry. For every phase,
+    # ply + pry - ntaps == q - L - 1 (a phase-independent constant, both
+    # axes) — which is what makes the fused single-conv embedding exact.
+    blocks = []  # (kernel slice or None, ply, plx)
     for r in (0, 1):
         kry = (py0 - r) % 2
         ory = (r - py0 + kry) // 2
         cy = c[:, :, kry::2]
         ply = -ory
-        pry = qy - H - ply + cy.shape[2] - 1
         for t in (0, 1):
             krx = (px0 - t) % 2
             orx = (t - px0 + krx) // 2
             cxy = cy[:, :, :, krx::2]
             plx = -orx
-            prx = qx - W - plx + cxy.shape[3] - 1
             if cxy.shape[2] == 0 or cxy.shape[3] == 0:
-                # this output parity touches no kernel tap → all zeros
-                shape = (B, qy, qx, O) if channels_last else (B, O, qy, qx)
-                phases.append(jnp.zeros(shape, x.dtype))
+                blocks.append((None, ply, plx))
+            else:
+                blocks.append((cxy, ply, plx))
+
+    def _slice_negative_pads(xs, p, hax, wax):
+        # Negative conv padding miscompiles on some XLA backends
+        # (observed garbage rows on CPU) — realize trims as slices.
+        if p[0] < 0:
+            xs = lax.slice_in_dim(xs, -p[0], xs.shape[hax], axis=hax)
+            p[0] = 0
+        if p[1] < 0:
+            xs = lax.slice_in_dim(xs, 0, xs.shape[hax] + p[1], axis=hax)
+            p[1] = 0
+        if p[2] < 0:
+            xs = lax.slice_in_dim(xs, -p[2], xs.shape[wax], axis=wax)
+            p[2] = 0
+        if p[3] < 0:
+            xs = lax.slice_in_dim(xs, 0, xs.shape[wax] + p[3], axis=wax)
+            p[3] = 0
+        return xs, p
+
+    hax, wax = (1, 2) if channels_last else (2, 3)
+    if _FUSED_PHASE:
+        # Embed each phase kernel at offset (dy, dx) = (PLy-ply, PLx-plx)
+        # inside a common tap window; one conv with 4·O output channels then
+        # produces the phase-concatenated tensor directly off the MXU.
+        PLy = max(b[1] for b in blocks)
+        PLx = max(b[2] for b in blocks)
+        nty = max([1] + [(PLy - ply) + k.shape[2]
+                         for k, ply, _ in blocks if k is not None])
+        ntx = max([1] + [(PLx - plx) + k.shape[3]
+                         for k, _, plx in blocks if k is not None])
+        PRy = qy - H - 1 - PLy + nty
+        PRx = qx - W - 1 - PLx + ntx
+        K = jnp.zeros((4 * O, I, nty, ntx), jnp.float32)
+        for pi, (k, ply, plx) in enumerate(blocks):
+            if k is None:
                 continue
-            # Negative conv padding miscompiles on some XLA backends
-            # (observed garbage rows on CPU) — realize trims as slices.
-            xs = x
-            p = [ply, pry, plx, prx]
-            hax, wax = (1, 2) if channels_last else (2, 3)
-            if p[0] < 0:
-                xs = lax.slice_in_dim(xs, -p[0], xs.shape[hax], axis=hax)
-                p[0] = 0
-            if p[1] < 0:
-                xs = lax.slice_in_dim(xs, 0, xs.shape[hax] + p[1], axis=hax)
-                p[1] = 0
-            if p[2] < 0:
-                xs = lax.slice_in_dim(xs, -p[2], xs.shape[wax], axis=wax)
-                p[2] = 0
-            if p[3] < 0:
-                xs = lax.slice_in_dim(xs, 0, xs.shape[wax] + p[3], axis=wax)
-                p[3] = 0
-            ck = (cxy.transpose(2, 3, 1, 0) if channels_last else cxy)
-            phases.append(lax.conv_general_dilated(
-                xs, ck.astype(x.dtype), (1, 1),
-                ((p[0], p[1]), (p[2], p[3])),
-                dimension_numbers=(("NHWC", "HWIO", "NHWC") if channels_last
-                                   else ("NCHW", "OIHW", "NCHW")),
-                precision=get_precision(),
-            ))
+            dy, dx = PLy - ply, PLx - plx
+            K = K.at[pi * O:(pi + 1) * O, :,
+                     dy:dy + k.shape[2], dx:dx + k.shape[3]].set(k)
+        xs, p = _slice_negative_pads(x, [PLy, PRy, PLx, PRx], hax, wax)
+        kk = K.transpose(2, 3, 1, 0) if channels_last else K
+        cat = lax.conv_general_dilated(
+            xs, kk.astype(x.dtype), (1, 1),
+            ((p[0], p[1]), (p[2], p[3])),
+            dimension_numbers=(("NHWC", "HWIO", "NHWC") if channels_last
+                               else ("NCHW", "OIHW", "NCHW")),
+            precision=get_precision(),
+        )
+        if channels_last:
+            st = cat.reshape(B, qy, qx, 2, 2, O)
+            out = st.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * qy, 2 * qx, O)
+            return out[:, :Ly, :Lx]
+        st = cat.reshape(B, 2, 2, O, qy, qx)
+        out = st.transpose(0, 3, 4, 1, 5, 2).reshape(B, O, 2 * qy, 2 * qx)
+        return out[:, :, :Ly, :Lx]
+
+    phases = []
+    for cxy, ply, plx in blocks:
+        if cxy is None:
+            # this output parity touches no kernel tap → all zeros
+            shape = (B, qy, qx, O) if channels_last else (B, O, qy, qx)
+            phases.append(jnp.zeros(shape, x.dtype))
+            continue
+        pry = qy - H - ply + cxy.shape[2] - 1
+        prx = qx - W - plx + cxy.shape[3] - 1
+        xs, p = _slice_negative_pads(x, [ply, pry, plx, prx], hax, wax)
+        ck = (cxy.transpose(2, 3, 1, 0) if channels_last else cxy)
+        phases.append(lax.conv_general_dilated(
+            xs, ck.astype(x.dtype), (1, 1),
+            ((p[0], p[1]), (p[2], p[3])),
+            dimension_numbers=(("NHWC", "HWIO", "NHWC") if channels_last
+                               else ("NCHW", "OIHW", "NCHW")),
+            precision=get_precision(),
+        ))
     if channels_last:
         # NHWC interleave: concat on the minor channel axis, split it into
         # (ry, rx, O), and lift the parity bits next to their spatial dims.

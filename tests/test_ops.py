@@ -303,6 +303,28 @@ class TestModulatedConv:
         assert out.shape == expected.shape == (B, O, 2 * H, 2 * H)
         np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.parametrize("channels_last", [False, True])
+    @pytest.mark.parametrize("pad,kh", [(0, 3), (1, 3), (-1, 4), (2, 1)])
+    def test_up2_fused_phase_matches_per_phase(self, pad, kh, channels_last,
+                                               monkeypatch):
+        """NFE_FUSED_PHASE (single 4·O-channel conv via per-phase kernel
+        offsets) must be exact vs the per-phase conv + concat path."""
+        from nerffaceediting_tpu.ops import modconv
+        rng = np.random.default_rng(17)
+        B, I, O, H, W = 2, 5, 7, 9, 11
+        x = rng.normal(size=(B, I, H, W)).astype(np.float32)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1) if channels_last else x)
+        w = jnp.asarray(rng.normal(size=(O, I, kh, kh)).astype(np.float32))
+        f = setup_filter([1, 3, 3, 1])
+        kw = dict(flip_weight=True, flip_filter=False, gain=4.0,
+                  channels_last=channels_last)
+        monkeypatch.setattr(modconv, "_FUSED_PHASE", False)
+        a = modconv._up2_subpixel_conv(xj, w, f, pad, pad, pad, pad, **kw)
+        monkeypatch.setattr(modconv, "_FUSED_PHASE", True)
+        b = modconv._up2_subpixel_conv(xj, w, f, pad, pad, pad, pad, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_conv2d_resample_down2(self):
         """down=2 path: FIR filter then strided conv; oracle is torch."""
         rng = np.random.default_rng(9)
