@@ -42,7 +42,11 @@ from .upfirdn import upfirdn2d, _parse_padding, _get_filter_size
 # channel concat (HLO-profiled as full-size pads, ~0.3 ms/frame at the
 # serving config) disappears. Exact: the offset embedding only shifts which
 # padding zeros each tap reads.
-_FUSED_PHASE = os.environ.get("NFE_FUSED_PHASE", "0") == "1"
+def _fused_phase():
+    # Read lazily (not at import) so bench.py's fallback-ladder env mutation
+    # between rungs takes effect — an import-time read would silently no-op
+    # any rung toggling NFE_FUSED_PHASE after modconv is first imported.
+    return os.environ.get("NFE_FUSED_PHASE", "0") == "1"
 
 
 def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True,
@@ -159,7 +163,7 @@ def _up2_subpixel_conv(x, w, f, px0, px1, py0, py1, *,
         return xs, p
 
     hax, wax = (1, 2) if channels_last else (2, 3)
-    if _FUSED_PHASE:
+    if _fused_phase():
         # Embed each phase kernel at offset (dy, dx) = (PLy-ply, PLx-plx)
         # inside a common tap window; one conv with 4·O output channels then
         # produces the phase-concatenated tensor directly off the MXU.

@@ -318,9 +318,9 @@ class TestModulatedConv:
         f = setup_filter([1, 3, 3, 1])
         kw = dict(flip_weight=True, flip_filter=False, gain=4.0,
                   channels_last=channels_last)
-        monkeypatch.setattr(modconv, "_FUSED_PHASE", False)
+        monkeypatch.setattr(modconv, "_fused_phase", lambda: False)
         a = modconv._up2_subpixel_conv(xj, w, f, pad, pad, pad, pad, **kw)
-        monkeypatch.setattr(modconv, "_FUSED_PHASE", True)
+        monkeypatch.setattr(modconv, "_fused_phase", lambda: True)
         b = modconv._up2_subpixel_conv(xj, w, f, pad, pad, pad, pad, **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
