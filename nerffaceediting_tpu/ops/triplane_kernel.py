@@ -1377,8 +1377,45 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
             "rgb": dec[None, :, 1 + SEG:]}
 
 
+def _composite_static_kernel(u_ref, pay_ref, out_ref, *, nk: int,
+                             tile_p: int, rp: int):
+    """Per-patch marcher epilogue with a PURELY STATIC schedule.
+
+    Grid (nt,) walks the decode output in its native patch-outermost tile
+    order, so the nk depth tiles of a pixel patch are CONSECUTIVE grid
+    steps; the output block (1, OUT, rp) at index j // nk is therefore
+    revisited exactly nk consecutive times and serves as the per-ray
+    accumulator (standard matmul-K accumulation pattern — init on the first
+    visit, flushed by Mosaic when the block index advances). No scalar
+    prefetch, no dynamic index maps: the dynamic-indexing variants of this
+    contraction are what hang the current libtpu pipeline emitter
+    (runs/hw_r4/ab4.log T1, benchN).
+
+    In-tile lanes are (ray-in-patch, depth) with depth minor; the depth
+    lane-group reduce is an MXU matmul against the iota-built one-hot
+    grouping matrix G[l, r] = [l // pd == r] (a lane-retiling reshape of
+    the (OUT, tile_p) block to (OUT, rp, pd) would be the VPU alternative,
+    but minor-dim-4 relayouts are exactly what _untile_perm measures as
+    expensive)."""
+    j = pl.program_id(0)
+    k = lax.rem(j, nk)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    y = pay_ref[0] * u_ref[0, 0][None, :]                 # (OUT, tile_p)
+    pd = tile_p // rp
+    rows = lax.broadcasted_iota(jnp.int32, (tile_p, rp), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (tile_p, rp), 1)
+    g = (rows // pd == cols).astype(jnp.float32)
+    out_ref[0] += jnp.dot(y, g, preferred_element_type=jnp.float32)
+
+
 def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
-                            ray_shape: Tuple[int, int, int]) -> jax.Array:
+                            ray_shape: Tuple[int, int, int], *,
+                            use_kernel: Optional[bool] = None,
+                            interpret: bool = False) -> jax.Array:
     """Σ_s u[r,s] · payload[r,s,:] over the TILED fused-decode output.
 
     The composite is linear in the per-sample payload, so the pull-back
@@ -1388,6 +1425,13 @@ def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
     grouped lane reduce: in-tile lanes are (ray-in-patch, depth) pairs, so
     summing over the depth-minor lane groups and the per-patch depth tiles
     yields the per-ray composite directly.
+
+    use_kernel (default: env NFE_TILED_COMPOSITE == "2"): run the
+    contraction as the static-schedule Pallas kernel above instead of the
+    XLA reshape/reduce — the XLA lowering materializes the multiply at
+    payload size and pays two relayouts. Requires patch-outermost tile
+    order (the kernel's accumulator pattern needs a patch's depth tiles
+    consecutive); silently uses the XLA path otherwise — identical math.
 
     tiled: (1, OUT, Mt) from triplane_sample_decode(return_tiled=True),
     with Mt == prod(ray_shape) (the serving shapes are never point-padded);
@@ -1403,9 +1447,36 @@ def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
                                                         ray_shape)
     u_t = _tile_perm(u_ray.reshape(1, M).astype(jnp.float32), ray_shape,
                      DEFAULT_TILE_P)[0]                   # (Mt,)
-    y = tiled[0] * u_t[None, :]                           # fuses into reduce
     npatch = (rh // ph) * (rw // pw)
     nk = S // pd
+    if use_kernel is None:
+        use_kernel = (os.environ.get("NFE_TILED_COMPOSITE", "0") == "2"
+                      and jax.default_backend() in ("tpu", "axon"))
+    tile_p = DEFAULT_TILE_P
+    rp = ph * pw
+    if (use_kernel and _TILE_ORDER == "patch" and Mt % tile_p == 0
+            and tile_p == ph * pw * pd):
+        nt = Mt // tile_p
+        kernel = functools.partial(_composite_static_kernel, nk=nk,
+                                   tile_p=tile_p, rp=rp)
+        o = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((1, 1, tile_p), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, OUT, tile_p), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, OUT, rp), lambda j: (0, 0, j // nk),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, OUT, npatch * rp),
+                                           jnp.float32),
+            interpret=interpret,
+        )(u_t[None, None, :], tiled)
+        o = o[0].reshape(OUT, rh // ph, rw // pw, ph, pw)
+        return o.transpose(1, 3, 2, 4, 0).reshape(1, rh * rw, OUT)
+    y = tiled[0] * u_t[None, :]                           # fuses into reduce
     if _TILE_ORDER == "patch":
         yp = y.reshape(OUT, npatch, nk, ph * pw, pd)
         o = jnp.sum(yp, axis=(2, 4))                      # (OUT, npatch, ph·pw)

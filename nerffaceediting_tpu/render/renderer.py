@@ -542,7 +542,10 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
                  and cfg.depth_resolution_importance > 0
                  and _kernel_backend_ok()
                  and _os.environ.get("NFE_MERGE_PULLBACK", "1") == "1"
-                 and _os.environ.get("NFE_TILED_COMPOSITE", "0") == "1")
+                 # "1" = XLA contraction (r4: compile-hangs at f128);
+                 # "2" = static-schedule Pallas composite kernel
+                 # (ops.triplane_kernel._composite_static_kernel)
+                 and _os.environ.get("NFE_TILED_COMPOSITE", "0") in ("1", "2"))
     if _tiled_ok:
         from ..ops.triplane_kernel import composite_payload_tiled
 

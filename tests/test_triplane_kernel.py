@@ -294,6 +294,54 @@ class TestFusedDecode:
                                        atol=1e-5)
 
 
+class TestCompositeStaticKernel:
+    """The static-schedule Pallas composite (NFE_TILED_COMPOSITE=2) must
+    match the XLA reshape/reduce contraction exactly: same u pull-back,
+    same depth-minor lane grouping, same patch-major output order."""
+
+    def test_kernel_matches_xla(self):
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        if tk._TILE_ORDER != "patch" or tk._PATCH != (8, 8, 4):
+            import pytest
+            pytest.skip("non-default tile layout env override")
+
+        rng = np.random.default_rng(7)
+        rh, rw, S = 16, 16, 8            # npatch=4, nk=2, nt=8 tiles
+        M = rh * rw * S
+        OUT = 48
+        tiled = jnp.asarray(rng.normal(size=(1, OUT, M)).astype(np.float32))
+        u = jnp.asarray(
+            np.abs(rng.normal(size=(1, rh * rw, S))).astype(np.float32))
+        a = tk.composite_payload_tiled(tiled, u, (rh, rw, S),
+                                       use_kernel=False)
+        b = tk.composite_payload_tiled(tiled, u, (rh, rw, S),
+                                       use_kernel=True, interpret=True)
+        assert a.shape == b.shape == (1, rh * rw, OUT)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_kernel_multi_frame_rows(self):
+        """decode_frames stacks F frames as extra ray-grid rows — the
+        kernel path must match there too (more patches, same tiles)."""
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        if tk._TILE_ORDER != "patch" or tk._PATCH != (8, 8, 4):
+            import pytest
+            pytest.skip("non-default tile layout env override")
+
+        rng = np.random.default_rng(8)
+        rh, rw, S = 2 * 16, 16, 4        # 2 stacked 16x16 frames
+        M = rh * rw * S
+        OUT = 5
+        tiled = jnp.asarray(rng.normal(size=(1, OUT, M)).astype(np.float32))
+        u = jnp.asarray(rng.normal(size=(1, rh * rw, S)).astype(np.float32))
+        a = tk.composite_payload_tiled(tiled, u, (rh, rw, S),
+                                       use_kernel=False)
+        b = tk.composite_payload_tiled(tiled, u, (rh, rw, S),
+                                       use_kernel=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 class TestSortedKernel:
     """The sorted-grid serving variant (NFE_SORTED_KERNEL — per-plane
     sampling in canvas-block order + separate decode-epilogue kernel) must
