@@ -143,6 +143,49 @@ _INKERNEL_FORCE = False
 _TILE_ORDER = os.environ.get("NFE_TILE_ORDER", "patch")
 
 
+# --- parked-kernel gate -----------------------------------------------------
+# The opt-in variants below are PARKED: each has a reproducible compile
+# failure on a specific libtpu build (empirical — there is no feature flag to
+# probe, so the gate fingerprints the build stamp in platform_version).
+# When a flag is enabled on a known-bad build the gate raises loudly instead
+# of hanging the compiler for 15-20 minutes or SIGABRTing mid-run.
+# `scripts/revalidate_parked_kernels.sh` re-probes all of them with bounded
+# compile-only runs after a toolchain update; NFE_PARKED_OK=1 overrides.
+_PARKED_BAD = {
+    "NFE_SORTED_KERNEL": {
+        "cl/831091709": "dynamic scalar-prefetched index maps hang the "
+                        "pipeline emitter >15 min (runs/hw_r4/benchN.err)"},
+    "NFE_RESIDENT_CANVAS": {
+        "cl/831091709": "96 MB VMEM canvas operand SIGABRTs the windowing "
+                        "proof (runs/hw_r4/ab_resident.err)"},
+    "NFE_TILED_COMPOSITE=1": {
+        "cl/831091709": "the XLA tiled contraction compile-hangs >20 min at "
+                        "f128 (runs/hw_r4/ab4.log T1); use "
+                        "NFE_TILED_COMPOSITE=2 (static Pallas kernel)"},
+}
+
+
+def _parked_gate(flag: str, interpret: bool = False) -> None:
+    if interpret or os.environ.get("NFE_PARKED_OK", "0") == "1":
+        return
+    try:
+        from jax._src import xla_bridge
+        backend = xla_bridge.get_backend()
+        if backend.platform not in ("tpu",):
+            return
+        ver = getattr(backend, "platform_version", "") or ""
+    except Exception:
+        return
+    for build, why in _PARKED_BAD.get(flag, {}).items():
+        if build in ver:
+            raise RuntimeError(
+                f"{flag} is parked on this libtpu build ({build}): {why}. "
+                "After a toolchain update run "
+                "scripts/revalidate_parked_kernels.sh to re-probe (it prints "
+                "the build id to clear from _PARKED_BAD), or set "
+                "NFE_PARKED_OK=1 to force.")
+
+
 def _onehot2_t(i0, w1, size, tile_p, dt):
     """Transposed 2-tap one-hot (size, tile_p): (1-w1) at row i0, w1 at
     row i0+1; OOB taps match no row — grid_sample zeros padding."""
@@ -442,6 +485,7 @@ def _windowed_call(statics, canvas, pts, bidx):
     resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
 
     if resident:
+        _parked_gate("NFE_RESIDENT_CANVAS", interpret=interpret)
         kernel = functools.partial(_win_kernel_resident, C=C, tile_p=tile_p,
                                    compute_dtype=compute_dtype)
         canvas_spec = pl.BlockSpec((1, nb, C * _WX, _WY),
@@ -1100,6 +1144,10 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     nbx, nby = _canvas_geom(H, W)
     resident = _RESIDENT_FORCE or _RESIDENT_CANVAS
     sorted_mode = _SORTED_FORCE or _SORTED_KERNEL
+    if resident:
+        _parked_gate("NFE_RESIDENT_CANVAS", interpret=interpret)
+    if sorted_mode:
+        _parked_gate("NFE_SORTED_KERNEL", interpret=interpret)
     inkernel = ((_INKERNEL_FORCE or _INKERNEL_PTS)
                 and not (resident or sorted_mode))
 

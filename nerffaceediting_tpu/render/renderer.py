@@ -547,7 +547,11 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
                  # (ops.triplane_kernel._composite_static_kernel)
                  and _os.environ.get("NFE_TILED_COMPOSITE", "0") in ("1", "2"))
     if _tiled_ok:
-        from ..ops.triplane_kernel import composite_payload_tiled
+        from ..ops.triplane_kernel import (_parked_gate,
+                                           composite_payload_tiled)
+
+        if _os.environ.get("NFE_TILED_COMPOSITE") == "1":
+            _parked_gate("NFE_TILED_COMPOSITE=1")
 
         def eval_tiled(depths):
             S_ = depths.shape[2]
