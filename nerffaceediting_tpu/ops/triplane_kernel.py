@@ -1111,10 +1111,17 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
                            compute_dtype=jnp.bfloat16,
                            canvas: Optional[jax.Array] = None,
                            interpret: bool = False,
-                           return_tiled: bool = False):
+                           return_tiled: bool = False,
+                           coords_transposed: bool = False):
     """Fused serving path: planes + points → decoded σ/seg/rgb directly.
 
-    planes_hwc: (3, H, W, C) NORMALIZED planes (batch 1); coords (1, M, 3);
+    planes_hwc: (3, H, W, C) NORMALIZED planes (batch 1); coords (1, M, 3),
+    or (1, 3, M) with coords_transposed=True — the channels-major layout is
+    NATIVE here (the first thing this function does is split x/y/z rows),
+    and callers that construct coords transposed avoid ever materializing a
+    minor-dim-3 tensor (XLA pads the 3-lane minor axis to a full 128-lane
+    tile, so the (M, 3) construction chain was ~1.1 ms/frame of relayout
+    traffic at the serving config — runs/hw_r4/profile_w4.log);
     plane_stats: (mean, var) each (1, 3, C); decoder_params: the
     DisentangledOSGDecoder pytree (geo_net/app_net). Returns
     {'sigma': (1, M, 1), 'seg': (1, M, S), 'rgb': (1, M, R)} float32.
@@ -1130,14 +1137,19 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
     decomposed kernel whose custom VJP is exact)."""
     NP, H, W, C = planes_hwc.shape
     assert NP == 3, "fused path is single-identity (3 planes)"
-    N, M, _ = coords.shape
-    assert N == 1
     coords = lax.stop_gradient(coords)
     planes_hwc = lax.stop_gradient(planes_hwc)
 
     s = (2.0 / box_warp)
-    x, y, z = coords[..., 0] * s, coords[..., 1] * s, coords[..., 2] * s
-    xyz = jnp.stack([x, y, z], axis=1).reshape(3, M)
+    if coords_transposed:
+        N, three, M = coords.shape
+        assert N == 1 and three == 3
+        xyz = coords[0] * s                                   # (3, M)
+    else:
+        N, M, _ = coords.shape
+        assert N == 1
+        x, y, z = coords[..., 0] * s, coords[..., 1] * s, coords[..., 2] * s
+        xyz = jnp.stack([x, y, z], axis=1).reshape(3, M)
     xyz_t = _tile_perm(xyz, ray_shape, tile_p)                # (3, Mt)
     Mt = xyz_t.shape[1]
     nt = Mt // tile_p
@@ -1450,14 +1462,14 @@ def _composite_static_kernel(u_ref, pay_ref, out_ref, *, nk: int,
 
     @pl.when(k == 0)
     def _init():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
 
     y = pay_ref[0] * u_ref[0, 0][None, :]                 # (OUT, tile_p)
     pd = tile_p // rp
     rows = lax.broadcasted_iota(jnp.int32, (tile_p, rp), 0)
     cols = lax.broadcasted_iota(jnp.int32, (tile_p, rp), 1)
     g = (rows // pd == cols).astype(jnp.float32)
-    out_ref[0] += jnp.dot(y, g, preferred_element_type=jnp.float32)
+    out_ref[0, 0] += jnp.dot(y, g, preferred_element_type=jnp.float32)
 
 
 def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
@@ -1516,14 +1528,19 @@ def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
                 pl.BlockSpec((1, OUT, tile_p), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, OUT, rp), lambda j: (0, 0, j // nk),
+            # 4-D out so the block obeys Mosaic's (sublane % 8, lane == dim)
+            # rule: block (1, 1, OUT, rp) on array (1, npatch, OUT, rp) —
+            # a 3-D (1, OUT, rp) block fails lowering (rp=64 lanes is
+            # neither 128-divisible nor the full 4096 axis).
+            out_specs=pl.BlockSpec((1, 1, OUT, rp),
+                                   lambda j: (0, j // nk, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, OUT, npatch * rp),
+            out_shape=jax.ShapeDtypeStruct((1, npatch, OUT, rp),
                                            jnp.float32),
             interpret=interpret,
         )(u_t[None, None, :], tiled)
-        o = o[0].reshape(OUT, rh // ph, rw // pw, ph, pw)
-        return o.transpose(1, 3, 2, 4, 0).reshape(1, rh * rw, OUT)
+        o = o[0].reshape(rh // ph, rw // pw, OUT, ph, pw)
+        return o.transpose(0, 3, 1, 4, 2).reshape(1, rh * rw, OUT)
     y = tiled[0] * u_t[None, :]                           # fuses into reduce
     if _TILE_ORDER == "patch":
         yp = y.reshape(OUT, npatch, nk, ph * pw, pd)

@@ -361,6 +361,7 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
               canvas: Optional[jax.Array] = None,
               fused_decoder: bool = False,
               tiled_payload: bool = False,
+              coords_transposed: bool = False,
               ) -> Dict[str, jax.Array]:
     """Sample both plane sets at `coordinates` and decode
     (ref: renderer.py:259-287). For the non-disentangled path pass
@@ -377,7 +378,6 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
         from ..ops.triplane_kernel import triplane_sample
 
         N, n_planes, C, H, W = norm_planes.shape
-        M = coordinates.shape[1]
         hwc = norm_planes.reshape(N * n_planes, C, H, W).transpose(0, 2, 3, 1)
         if (fused_decoder and N == 1 and ray_shape is not None
                 and "geo_net" in decoder_params and cfg.density_noise == 0):
@@ -389,7 +389,12 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
                 hwc, coordinates, decoder_params, plane_stats,
                 box_warp=cfg.box_warp, ray_shape=ray_shape,
                 lr_multiplier=cfg.decoder_lr_mul, canvas=canvas,
-                return_tiled=tiled_payload)
+                return_tiled=tiled_payload,
+                coords_transposed=coords_transposed)
+        if coords_transposed:
+            # the decomposed paths below consume the points-major layout
+            coordinates = coordinates.transpose(0, 2, 1)
+        M = coordinates.shape[1]
         samples, wsum = triplane_sample(hwc, coordinates, box_warp=cfg.box_warp,
                                         ray_shape=ray_shape, coherent=coherent,
                                         canvas=canvas)
@@ -408,6 +413,8 @@ def run_model(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_planes,
                 * cfg.density_noise)
         return out
 
+    if coords_transposed:
+        coordinates = coordinates.transpose(0, 2, 1)
     if plane_stats is not None and denorm_planes is None:
         # CPU fallback: materialize the denormalized planes once.
         mean, var = plane_stats
@@ -502,6 +509,27 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         res = int(round(R ** 0.5))
         ray_grid = (res, res) if res * res == R else None
 
+    import os as _os
+
+    # Transposed (channels-major) coords for the serving fast path: the
+    # (B, M, 3) construction chain materializes minor-dim-3 tensors that
+    # XLA relayouts at full-tile cost (~1.1 ms/frame, profile_w4.log); the
+    # (B, 3, M) chain is elementwise in the layout the sampler natively
+    # consumes. Opt-in via NFE_COORDS_T until measured on-chip.
+    _coords_t = (rng is None and fused_decoder
+                 and _os.environ.get("NFE_COORDS_T", "0") == "1")
+
+    def _coords_of(depths):
+        S_ = depths.shape[2]
+        if _coords_t:
+            o_t = ray_origins.transpose(0, 2, 1)        # (B, 3, R)
+            d_t = ray_directions.transpose(0, 2, 1)
+            dep = depths[..., 0][:, None]               # (B, 1, R, S)
+            ct = o_t[:, :, :, None] + d_t[:, :, :, None] * dep
+            return ct.reshape(B, 3, R * S_)
+        return (ray_origins[:, :, None]
+                + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+
     @partial(jax.checkpoint, static_argnums=())
     def _eval_coords(decoder_params_, norm_planes_, denorm_planes_, depths, rng_eval):
         # Rematerialized in the backward pass: the per-point plane samples
@@ -509,12 +537,13 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         # whole training step — recomputing the sampling kernel is far
         # cheaper than holding them in HBM (SURVEY §7: jax.checkpoint to
         # trade FLOPs for memory).
-        coords = (ray_origins[:, :, None] + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+        coords = _coords_of(depths)
         rs = (ray_grid[0], ray_grid[1], depths.shape[2]) if ray_grid is not None else None
         out = run_model(decoder_fn, decoder_params_, norm_planes_, denorm_planes_,
                         coords, cfg, rng_eval, plane_stats=plane_stats,
                         ray_shape=rs, coherent=coherent, canvas=canvas,
-                        fused_decoder=fused_decoder)
+                        fused_decoder=fused_decoder,
+                        coords_transposed=_coords_t)
         return out["rgb"], out["sigma"], out.get("seg")
 
     def eval_at(depths, rng_eval):
@@ -525,8 +554,6 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
         densities = sigma.reshape(B, R, S_, 1)
         segs = None if seg is None else seg.reshape(B, R, S_, -1)
         return colors, densities, segs
-
-    import os as _os
 
     # Tiled-composite serving path (NFE_TILED_COMPOSITE=1): the fused-decode
     # payload stays in tile order and the pull-back coefficients are
@@ -555,14 +582,14 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
 
         def eval_tiled(depths):
             S_ = depths.shape[2]
-            coords = (ray_origins[:, :, None]
-                      + depths * ray_directions[:, :, None]).reshape(B, -1, 3)
+            coords = _coords_of(depths)
             rs = (ray_grid[0], ray_grid[1], S_)
             out = run_model(decoder_fn, decoder_params, norm_planes,
                             denorm_planes, coords, cfg, None,
                             plane_stats=plane_stats, ray_shape=rs,
                             coherent=coherent, canvas=canvas,
-                            fused_decoder=True, tiled_payload=True)
+                            fused_decoder=True, tiled_payload=True,
+                            coords_transposed=_coords_t)
             return out, out["sigma"].reshape(B, R, S_, 1), rs
 
         out_c, densities_c, rs_c = eval_tiled(depths_coarse)

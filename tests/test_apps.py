@@ -200,6 +200,35 @@ class TestProjector:
         assert np.isfinite(losses).all()
         assert min(losses[1:]) < losses[0]  # optimization makes progress
 
+    def test_pti_loss_decreases(self):
+        """Regression for the r4 inversion failure (500 bit-identical PTI
+        steps): a clamp inside the feature/L1 losses saturated every
+        gradient to zero once the render left [-1, 1] (fixed in e55966b).
+        PTI loss must VISIBLY move and improve — a frozen loss sequence is
+        the silent-failure mode this test exists to catch."""
+        cfg = tiny_config()
+        params = triplane.init_generator(jax.random.key(0), cfg)
+        cam = camera_params(
+            lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7),
+            fov_to_intrinsics(18.837))
+        z = jax.random.normal(jax.random.key(5), (1, cfg.z_dim))
+        ws = triplane.mapping(params, z, cam, cfg)
+        # target rendered by a DIFFERENT identity: PTI must adapt params
+        z2 = jax.random.normal(jax.random.key(6), (1, cfg.z_dim))
+        ws2 = triplane.mapping(params, z2, cam, cfg)
+        target = triplane.synthesis(params, ws2, cam, cfg)["image"]
+
+        from nerffaceediting_tpu.editing.projector import (
+            ProjectorConfig, pivotal_tuning)
+
+        pcfg = ProjectorConfig(num_steps_pti=8, first_inv_lr=3e-3)
+        _, hist = pivotal_tuning(params, ws, target, cam, cfg, pcfg=pcfg)
+        losses = [float(l) for l in hist["loss"]]
+        assert np.isfinite(losses).all()
+        # not bit-identical (the zero-gradient failure mode)
+        assert len(set(losses)) > 1, f"PTI loss frozen at {losses[0]}"
+        assert min(losses[1:]) < losses[0]  # and it improves
+
 
 class TestDecodeFrames:
     def test_matches_per_frame_decode(self):

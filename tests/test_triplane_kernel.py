@@ -294,6 +294,33 @@ class TestFusedDecode:
                                        atol=1e-5)
 
 
+class TestCoordsTransposed:
+    def test_decode_matches_points_major(self):
+        """triplane_sample_decode(coords_transposed=True) on the (1, 3, M)
+        layout must equal the (1, M, 3) path exactly."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample_decode)
+
+        rng = np.random.default_rng(3)
+        planes = jnp.asarray(rng.normal(size=(3, 64, 64, 32)).astype(np.float32))
+        base = np.stack(np.meshgrid(
+            np.linspace(-0.3, 0.3, 8), np.linspace(-0.3, 0.3, 8),
+            np.linspace(-0.1, 0.1, 4), indexing="ij"), -1)
+        coords = jnp.asarray(base.reshape(1, 256, 3).astype(np.float32))
+        dec = init_disentangled_osg_decoder(jax.random.key(4))
+        mean = jnp.asarray(rng.normal(size=(1, 3, 32)).astype(np.float32))
+        var = jnp.asarray(np.abs(rng.normal(size=(1, 3, 32))).astype(np.float32))
+        kw = dict(ray_shape=(8, 8, 4), tile_p=64,
+                  compute_dtype=jnp.float32, interpret=True)
+        a = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        b = triplane_sample_decode(planes, coords.transpose(0, 2, 1), dec,
+                                   (mean, var), coords_transposed=True, **kw)
+        for k in ("sigma", "seg", "rgb"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 class TestParkedGate:
     """Parked variants must refuse loudly on a fingerprinted-bad libtpu
     build instead of hanging the compiler (VERDICT r4 weak #6)."""
