@@ -32,6 +32,12 @@ class GeometryEditConfig:
     preserve_weight: float = 1.0   # keep un-edited regions' rgb intact
     seg_weight: float = 1.0
     plane_reg_weight: float = 1e-3  # keep planes near the original geometry
+    # CE weight multiplier INSIDE the edited region: the plain mean-CE
+    # dilutes the edit's gradient by its pixel fraction (~15% in the demo)
+    # while the preservation term pushes back everywhere — the r4 artifact
+    # reached only seg_match 0.24 after 10 steps. Boosting the edited
+    # pixels' CE restores the intended per-region balance.
+    edit_seg_boost: float = 5.0
 
 
 def edit_geometry(params, ws, cam, norm_planes, plane_stats,
@@ -66,7 +72,16 @@ def edit_geometry(params, ws, cam, norm_planes, plane_stats,
         def loss_fn(p):
             out = triplane.render_planes(params, p, None, cam, cfg,
                                          ws_sr=ws, plane_stats=plane_stats)
-            seg_loss = seg_cross_entropy(out["image_seg"], target_labels)
+            if edit_mask is not None and ecfg.edit_seg_boost != 1.0:
+                # per-pixel CE with the edited region boosted (see config)
+                logp = jax.nn.log_softmax(out["image_seg"], axis=1)
+                onehot = jax.nn.one_hot(target_labels, logp.shape[1],
+                                        axis=1, dtype=logp.dtype)
+                ce = -jnp.sum(onehot * logp, axis=1, keepdims=True)
+                w = 1.0 + (ecfg.edit_seg_boost - 1.0) * edit_mask
+                seg_loss = jnp.mean(w * ce)
+            else:
+                seg_loss = seg_cross_entropy(out["image_seg"], target_labels)
             if edit_mask is not None:
                 keep = 1.0 - edit_mask
                 preserve = jnp.mean(keep * jnp.square(out["image_raw"] - rgb0))
