@@ -15,7 +15,15 @@ lazily on first use.
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # Compile-cheap XLA:CPU: tests verify NUMERICS on a 1-core box where
+    # wall time IS compile time — O0 + no expensive LLVM passes cut the
+    # multichip dryrun's cold compile >2x (runs/hw_r5/dryrun_cold_O0.log)
+    # and change nothing semantically. NFE_TEST_O2=1 restores defaults.
+    + ("" if os.environ.get("NFE_TEST_O2") == "1" else
+       " --xla_backend_optimization_level=0"
+       " --xla_llvm_disable_expensive_passes=true")
 ).strip()
 
 import jax  # noqa: E402

@@ -2,6 +2,7 @@
 single-device renderer on the 8-device CPU mesh (parallel/serving.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +89,8 @@ class TestFrameSharded:
                 np.asarray(out[k]), np.asarray(ref[k]), atol=2e-4,
                 err_msg=k)
 
+    @pytest.mark.slow  # ~95 s duplicate compile of the frame-sharded
+    # program under jit; the eager variant above keeps in-tier coverage
     def test_jitted_with_band_shardings(self):
         """Under jit the feature image really is band-sharded over 'data'."""
         cfg, params, ws, norm, stats = _setup()
@@ -109,6 +112,8 @@ class TestFrameSharded:
 
 
 class TestOrbitScanGroup:
+    @pytest.mark.slow  # ~95 s: 16-frame compile — the heaviest serving
+    # test; orbit sharding itself stays covered in-tier by TestOrbitSharded
     def test_scan_group_matches_unrolled(self):
         """16 frames / 8 devices / scan_group=1: the per-device lax.scan
         path (TPU compiler-limit workaround) must match plain decode."""

@@ -315,6 +315,9 @@ class TestTracedSchedules:
         assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-4
 
 
+@pytest.mark.slow  # ~206 s: four full train-phase compiles at two
+# precisions — the heaviest non-slow item of the r4 suite (VERDICT r4 #9);
+# the amp path's compile coverage is kept in-tier by the multichip dryrun
 class TestAmp:
     """bf16 SR/D mixed precision (LossConfig.amp — the reference's
     num_fp16_res scheme, ref train.py:384-387): same losses within bf16
