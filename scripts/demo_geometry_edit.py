@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (test-scale; CI smoke)")
+    ap.add_argument("--network", default=None,
+                    help="orbax network-snapshot dir: edit a TRAINED "
+                         "generator's geometry instead of a random-init one")
     ap.add_argument("--out", default="debug")
     args = ap.parse_args()
     if args.cpu:
@@ -71,7 +74,13 @@ def main():
     else:
         cfg = ffhq_generator_config()
 
-    params = triplane.init_generator(jax.random.key(0), cfg)
+    if args.network:
+        from nerffaceediting_tpu.io.checkpoint import load_checkpoint
+
+        params = jax.tree.map(jnp.asarray, load_checkpoint(args.network)["g_ema"])
+        print(f"loaded g_ema from {args.network}")
+    else:
+        params = triplane.init_generator(jax.random.key(0), cfg)
     cam0 = camera_params(
         lookat_pose(np.pi / 2, np.pi / 2, (0, 0, 0.2), radius=2.7),
         fov_to_intrinsics(18.837))
