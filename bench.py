@@ -58,17 +58,24 @@ def main():
     # (VERDICT r3 weak #5).
     pinned = any(k in os.environ for k in _LADDER_KEYS)
     ladder = [("pinned", {})] if pinned else [
-        ("default", {}),                   # committed fastest (92.7 fps r4)
-        # known-compiling alternates (r4 LLO-crash matrix + sweep,
-        # runs/hw_r4): fp32 SR next, then the r2-style merge at group 2,
-        # then the decomposed kernel as the most conservative rung.
+        ("default", {}),                   # committed fastest (109.0 fps r5:
+        # static composite kernel + transposed coords on by default)
+        # known-compiling alternates: the r4 default first (proven 92.8,
+        # new r5 defaults pinned OFF), then fp32 SR, then the r2-style
+        # merge at group 2, then the decomposed kernel as the most
+        # conservative rung (r4 LLO-crash matrix + sweep, runs/hw_r4).
+        ("r4-default", {"NFE_TILED_COMPOSITE": "0",
+                        "NFE_COORDS_T": "0"}),           # 92.8 fps r4
         ("f64g1-fp32sr", {"NFE_BENCH_FRAMES": "64", "NFE_BENCH_GROUP": "1",
+                          "NFE_TILED_COMPOSITE": "0", "NFE_COORDS_T": "0",
                           "NFE_BENCH_SR_BF16": "0"}),    # 70.8 fps r4
         ("f64g2-unify", {"NFE_BENCH_FRAMES": "64", "NFE_BENCH_GROUP": "2",
                          "NFE_BENCH_SR_BF16": "0",
+                         "NFE_TILED_COMPOSITE": "0", "NFE_COORDS_T": "0",
                          "NFE_MERGE_PULLBACK": "0"}),    # 63.0 fps r4
         ("f16g1-decomposed", {"NFE_BENCH_FRAMES": "16", "NFE_BENCH_GROUP": "1",
                               "NFE_BENCH_SR_BF16": "0",
+                              "NFE_TILED_COMPOSITE": "0", "NFE_COORDS_T": "0",
                               "NFE_BENCH_FUSED": "0"}),  # most conservative
     ]
     base_env = {k: os.environ.get(k) for k in _LADDER_KEYS}

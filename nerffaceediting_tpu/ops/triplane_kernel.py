@@ -1510,7 +1510,7 @@ def composite_payload_tiled(tiled: jax.Array, u_ray: jax.Array,
     npatch = (rh // ph) * (rw // pw)
     nk = S // pd
     if use_kernel is None:
-        use_kernel = (os.environ.get("NFE_TILED_COMPOSITE", "0") == "2"
+        use_kernel = (os.environ.get("NFE_TILED_COMPOSITE", "2") == "2"
                       and jax.default_backend() in ("tpu", "axon"))
     tile_p = DEFAULT_TILE_P
     rp = ph * pw

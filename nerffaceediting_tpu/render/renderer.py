@@ -515,9 +515,10 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
     # (B, M, 3) construction chain materializes minor-dim-3 tensors that
     # XLA relayouts at full-tile cost (~1.1 ms/frame, profile_w4.log); the
     # (B, 3, M) chain is elementwise in the layout the sampler natively
-    # consumes. Opt-in via NFE_COORDS_T until measured on-chip.
+    # consumes. DEFAULT ON since r5 wave-1: 97.5 vs 92.8 fps alone, 109.0
+    # combined with the static composite kernel (runs/hw_r5/wave1.log).
     _coords_t = (rng is None and fused_decoder
-                 and _os.environ.get("NFE_COORDS_T", "0") == "1")
+                 and _os.environ.get("NFE_COORDS_T", "1") == "1")
 
     def _coords_of(depths):
         S_ = depths.shape[2]
@@ -571,8 +572,11 @@ def render_rays(decoder_fn: DecoderFn, decoder_params, norm_planes, denorm_plane
                  and _os.environ.get("NFE_MERGE_PULLBACK", "1") == "1"
                  # "1" = XLA contraction (r4: compile-hangs at f128);
                  # "2" = static-schedule Pallas composite kernel
-                 # (ops.triplane_kernel._composite_static_kernel)
-                 and _os.environ.get("NFE_TILED_COMPOSITE", "0") in ("1", "2"))
+                 # (ops.triplane_kernel._composite_static_kernel) —
+                 # DEFAULT since r5 wave-1: 102.6 fps alone, 109.0 with
+                 # coords_t, vs 92.8 (runs/hw_r5/wave1.log); "0" restores
+                 # the untiled fused path
+                 and _os.environ.get("NFE_TILED_COMPOSITE", "2") in ("1", "2"))
     if _tiled_ok:
         from ..ops.triplane_kernel import (_parked_gate,
                                            composite_payload_tiled)

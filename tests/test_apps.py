@@ -291,6 +291,14 @@ class TestDecodeFrames:
             tk, "triplane_sample_decode",
             lambda *a, **k: orig(*a, **{**k, "interpret": True,
                                         "compute_dtype": jnp.float32}))
+        # NFE_TILED_COMPOSITE defaults to "2" (the r5 shipping composite
+        # kernel) — run it in interpret mode too so the fused path under
+        # test is the real shipping path, not a fallback.
+        orig_cpt = tk.composite_payload_tiled
+        monkeypatch.setattr(
+            tk, "composite_payload_tiled",
+            lambda *a, **k: orig_cpt(*a, **{**k, "use_kernel": True,
+                                            "interpret": True}))
         monkeypatch.setattr(rr.jax, "default_backend", lambda: "tpu")
         try:
             multi = decode_frames(params, ws, cams, norm, None, cfg,

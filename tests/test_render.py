@@ -354,9 +354,10 @@ class TestRenderRays:
                                        rtol=2e-4, atol=2e-5)
 
     def test_tiled_composite_matches_fused(self, monkeypatch):
-        """NFE_TILED_COMPOSITE=1 (pull-back weights contracted against the
-        TILED fused-decode output, no payload untile) must match the
-        untiled fused serving path bit-for-bit up to reduce order."""
+        """NFE_TILED_COMPOSITE=1 (XLA contraction of the pull-back weights
+        against the TILED fused-decode output, no payload untile) and =2
+        (static-schedule Pallas composite kernel, the r5 default) must both
+        match the untiled fused serving path (=0) up to reduce order."""
         import nerffaceediting_tpu.ops.triplane_kernel as tk
         import nerffaceediting_tpu.render.renderer as rr
         from nerffaceediting_tpu.models.decoders import (
@@ -386,12 +387,27 @@ class TestRenderRays:
         monkeypatch.setattr(rr.jax, "default_backend", lambda: "tpu")
         kw = dict(plane_stats=(mean, var), ray_grid=(rh, rw),
                   fused_decoder=True, coherent=True)
+        monkeypatch.setenv("NFE_TILED_COMPOSITE", "0")
         fused = render_rays(dec, params, planes, None, origins, dirs, cfg,
                             **kw)
         monkeypatch.setenv("NFE_TILED_COMPOSITE", "1")
         tiled = render_rays(dec, params, planes, None, origins, dirs, cfg,
                             **kw)
         for a, b in zip(tiled, fused):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        # "2": the Pallas composite kernel (interpret on CPU), forced on
+        # so the backend check inside composite_payload_tiled can't silently
+        # fall back to the XLA contraction and mask a kernel bug.
+        orig_cpt = tk.composite_payload_tiled
+        monkeypatch.setattr(
+            tk, "composite_payload_tiled",
+            lambda *a, **k: orig_cpt(*a, **{**k, "use_kernel": True,
+                                            "interpret": True}))
+        monkeypatch.setenv("NFE_TILED_COMPOSITE", "2")
+        kern = render_rays(dec, params, planes, None, origins, dirs, cfg,
+                           **kw)
+        for a, b in zip(kern, fused):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
