@@ -43,7 +43,8 @@ _LADDER_KEYS = (
     "NFE_BENCH_SR_BF16", "NFE_RESIDENT_CANVAS", "NFE_COMPOSITE_KERNEL",
     "NFE_WIN_GEOM", "NFE_MERGE_PULLBACK", "NFE_PATCH", "NFE_TILE_ORDER",
     "NFE_TILE_P", "NFE_SORTED_KERNEL", "NFE_TILED_COMPOSITE", "NFE_SR_NHWC",
-    "NFE_MAX_MT", "NFE_INKERNEL_PTS", "NFE_FUSED_PHASE", "NFE_COORDS_T")
+    "NFE_MAX_MT", "NFE_INKERNEL_PTS", "NFE_FUSED_PHASE", "NFE_COORDS_T",
+    "NFE_KERNEL_ILP")
 
 
 def main():

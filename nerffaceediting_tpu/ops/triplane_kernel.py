@@ -892,7 +892,7 @@ def _fused_decode_kernel_ik(bidx_ref, xyz_ref, c0_ref, c1_ref, c2_ref,
                             w0g_ref, b0g_ref, w1g_ref, b1g_ref,
                             w0a_ref, b0a_ref, w1a_ref, b1a_ref,
                             out_ref, *, C: int, tile_p: int, compute_dtype,
-                            H: int, W: int, nby: int):
+                            H: int, W: int, nby: int, ilp: bool = False):
     """In-kernel-pts fused decode (NFE_INKERNEL_PTS): one point tile × all
     3 planes, with the per-plane projection / floor / frac / bounds-mass /
     window-relative math computed in the body from the raw scaled xyz tile
@@ -900,14 +900,21 @@ def _fused_decode_kernel_ik(bidx_ref, xyz_ref, c0_ref, c1_ref, c2_ref,
     block index (ws = (b ÷ nby, b mod nby) · stride − pad), so no extra
     operand is needed. Math is a line-for-line transcription of the
     outside pts pipeline in triplane_sample_decode — same clips, same
-    masses, same zeros-padding semantics."""
+    masses, same zeros-padding semantics.
+
+    ilp (NFE_KERNEL_ILP): reorder the body into three phases — all planes'
+    point math + one-hots (VPU), then the three window dots back-to-back
+    (MXU), then the rx epilogues (VPU) — instead of the per-plane
+    dot→epilogue chain. Bit-identical math; the per-plane chain serializes
+    MXU and VPU (r5 profile: per-tile time ≈ MXU 1.5 µs + VPU 0.65 µs ≈
+    the serial sum), while grouped dots give the scheduler a window to
+    overlap plane p's epilogue with plane p+1's dot."""
     j = pl.program_id(0)
     x = xyz_ref[0, :]
     y = xyz_ref[1, :]
     z = xyz_ref[2, :]
-    acc_n = jnp.zeros((C, tile_p), jnp.float32)
-    acc_d = jnp.zeros((C, tile_p), jnp.float32)
-    for p, cv_ref in enumerate((c0_ref, c1_ref, c2_ref)):
+
+    def point_math(p):
         u = (x, x, z)[p]
         v = (y, z, x)[p]
         fu = (u + 1.0) * (W * 0.5) - 0.5
@@ -928,19 +935,47 @@ def _fused_decode_kernel_ik(bidx_ref, xyz_ref, c0_ref, c1_ref, c2_ref,
         wsy = (lax.rem(b, nby) * _SY - _PADL).astype(jnp.float32)
         rel_y = y0 - wsy
         rel_x = x0 - wsx
-        w2 = cv_ref[0, 0]                    # (C·_WX, _WY)
-        WX = w2.shape[0] // C
-        WY = w2.shape[1]
-        ry_t = _onehot2_t(rel_y.astype(jnp.int32), wy1, WY, tile_p,
-                          compute_dtype)
-        rx_t = _onehot2_t(rel_x.astype(jnp.int32), wx1, WX, tile_p,
-                          jnp.float32)
-        t = jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)
-        s = jnp.sum(t.reshape(C, WX, tile_p) * rx_t[None], axis=1)  # (C, P)
-        acc_n += s
-        mean = stats_ref[p, 0, :][:, None]   # (C, 1)
-        var = stats_ref[p, 1, :][:, None]
-        acc_d += s * var + mean * wsum[None, :]
+        return rel_x, rel_y, wx1, wy1, wsum
+
+    cv_refs = (c0_ref, c1_ref, c2_ref)
+    acc_n = jnp.zeros((C, tile_p), jnp.float32)
+    acc_d = jnp.zeros((C, tile_p), jnp.float32)
+    if ilp:
+        pre = []
+        for p in range(3):
+            rel_x, rel_y, wx1, wy1, wsum = point_math(p)
+            w2 = cv_refs[p][0, 0]            # (C·_WX, _WY)
+            WX = w2.shape[0] // C
+            WY = w2.shape[1]
+            ry_t = _onehot2_t(rel_y.astype(jnp.int32), wy1, WY, tile_p,
+                              compute_dtype)
+            rx_t = _onehot2_t(rel_x.astype(jnp.int32), wx1, WX, tile_p,
+                              jnp.float32)
+            pre.append((w2, WX, ry_t, rx_t, wsum))
+        ts = [jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)
+              for w2, _, ry_t, _, _ in pre]
+        for p, (w2, WX, ry_t, rx_t, wsum) in enumerate(pre):
+            s = jnp.sum(ts[p].reshape(C, WX, tile_p) * rx_t[None], axis=1)
+            acc_n += s
+            mean = stats_ref[p, 0, :][:, None]
+            var = stats_ref[p, 1, :][:, None]
+            acc_d += s * var + mean * wsum[None, :]
+    else:
+        for p in range(3):
+            rel_x, rel_y, wx1, wy1, wsum = point_math(p)
+            w2 = cv_refs[p][0, 0]            # (C·_WX, _WY)
+            WX = w2.shape[0] // C
+            WY = w2.shape[1]
+            ry_t = _onehot2_t(rel_y.astype(jnp.int32), wy1, WY, tile_p,
+                              compute_dtype)
+            rx_t = _onehot2_t(rel_x.astype(jnp.int32), wx1, WX, tile_p,
+                              jnp.float32)
+            t = jnp.dot(w2, ry_t, preferred_element_type=jnp.float32)
+            s = jnp.sum(t.reshape(C, WX, tile_p) * rx_t[None], axis=1)
+            acc_n += s
+            mean = stats_ref[p, 0, :][:, None]   # (C, 1)
+            var = stats_ref[p, 1, :][:, None]
+            acc_d += s * var + mean * wsum[None, :]
 
     xn = acc_n * (1.0 / 3.0)
     xd = acc_d * (1.0 / 3.0)
@@ -1319,7 +1354,9 @@ def triplane_sample_decode(planes_hwc: jax.Array, coords: jax.Array,
         nt_c = xyz_c.shape[1] // tile_p
         kernel = functools.partial(
             _fused_decode_kernel_ik, C=C, tile_p=tile_p,
-            compute_dtype=jnp.dtype(compute_dtype), H=H, W=W, nby=nby)
+            compute_dtype=jnp.dtype(compute_dtype), H=H, W=W, nby=nby,
+            # read lazily so bench-ladder env toggles take effect
+            ilp=os.environ.get("NFE_KERNEL_ILP", "0") == "1")
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt_c,),

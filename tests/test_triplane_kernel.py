@@ -478,6 +478,33 @@ class TestSortedKernel:
         np.testing.assert_array_equal(np.asarray(a_tiled["tiled"]),
                                       np.asarray(b_tiled["tiled"]))
 
+    def test_inkernel_ilp_matches(self, monkeypatch):
+        """NFE_KERNEL_ILP reorders the ik body (all point math + one-hots,
+        then the 3 window dots, then the rx epilogues) — the values must be
+        bit-identical to the per-plane chain: same ops, same reduce order,
+        only the issue order changes."""
+        from nerffaceediting_tpu.models.decoders import (
+            init_disentangled_osg_decoder)
+        from nerffaceediting_tpu.ops import triplane_kernel as tk
+        from nerffaceediting_tpu.ops.triplane_kernel import (
+            triplane_sample_decode)
+
+        rng = np.random.default_rng(48)
+        planes, coords, mean, var, rs = self._case(rng)
+        dec = init_disentangled_osg_decoder(jax.random.key(5))
+        kw = dict(ray_shape=rs, tile_p=64,
+                  compute_dtype=jnp.float32, interpret=True)
+        monkeypatch.setattr(tk, "_INKERNEL_FORCE", True)
+        jax.clear_caches()
+        a = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        monkeypatch.setenv("NFE_KERNEL_ILP", "1")
+        jax.clear_caches()
+        b = triplane_sample_decode(planes, coords, dec, (mean, var), **kw)
+        jax.clear_caches()
+        for k in ("sigma", "seg", "rgb"):
+            assert np.all(np.isfinite(np.asarray(b[k]))), k
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
     def test_inkernel_pts_chunked_and_oob(self, monkeypatch):
         """The ik variant under point-axis chunking (NFE_MAX_MT) and with
         out-of-plane coords (zeros-padding semantics) matches the default."""
