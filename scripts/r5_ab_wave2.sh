@@ -2,8 +2,10 @@
 # r5 wave-2 serving A/Bs vs the new 109-fps default (bench_default.log):
 #  - kernel ILP reorder (NFE_KERNEL_ILP, parity-tested bit-identical)
 #  - narrower windows from the measured span distribution
-#    (scripts/measure_spans.py: max u-span 32, max v-span 32 →
-#     WX=44/SX=8 limit 34, WY=56/SY=16 limit 38; NaN guard is loud)
+#    (scripts/measure_spans.py, 16 orbit-spread cams: max u/v span 33 →
+#     WX=44/SX=8 limit 34 [1 of margin — aggressive], WX=44/SX=4 limit 38
+#     [safe, 2× canvas blocks, same per-tile fetch], WY=56/SY=16 limit 38
+#     [safe]; the NaN guard makes an infeasible geometry loud)
 #  - NHWC SR re-check at the new op balance.
 # NOTE: every env key here is in bench._LADDER_KEYS, so each run pins
 # "variant: pinned" (no ladder).
@@ -14,8 +16,9 @@ run() { name=$1; shift
   echo "== $name: $(grep -a '"metric"' runs/hw_r5/ab2_$name.log)"
 }
 run ilp        NFE_KERNEL_ILP=1
-run wx44       NFE_WIN_GEOM=44,8,64,24
-run wx44wy56   NFE_WIN_GEOM=44,8,56,16
-run ilp_geom   NFE_KERNEL_ILP=1 NFE_WIN_GEOM=44,8,56,16
+run wy56       NFE_WIN_GEOM=48,8,56,16
+run geom       NFE_WIN_GEOM=44,4,56,16
+run wx44s8     NFE_WIN_GEOM=44,8,56,16
+run ilp_geom   NFE_KERNEL_ILP=1 NFE_WIN_GEOM=44,4,56,16
 run nhwc       NFE_SR_NHWC=1
 echo DONE
