@@ -115,9 +115,17 @@ def main():
     r_in = res // 6
     center = seg_np[c0 - r_in:c0 + r_in, c1 - r_in:c1 + r_in]
     brush = int(np.bincount(center.reshape(-1), minlength=15).argmax())
-    # choose a disk that currently is NOT all brush-labelled
     yy, xx = np.mgrid[0:res, 0:res]
     disk = ((yy - c0) ** 2 + (xx - c1) ** 2) <= (res // 3) ** 2
+    # The edit must actually change pixels: a trained generator can render
+    # the whole disk as one label (seen at the 5-kimg snapshot — center
+    # dominant == brush → edited_frac 0.0, NaN metrics). Fall back to the
+    # most frequent label that is NOT the disk's dominant one, so the paint
+    # recolors the disk toward a label the generator genuinely produces.
+    if float((disk & (seg_np != brush)).mean()) < 0.02:
+        freq = np.bincount(seg_np.reshape(-1), minlength=15)
+        freq[brush] = -1
+        brush = int(freq.argmax())
     target_np = seg_np.copy()
     target_np[disk] = brush
     edited_frac = float((target_np != seg_np).mean())
